@@ -1,0 +1,223 @@
+"""Vectorized Hanabi environment.
+
+TPU-native replacement for the reference's HanabiEnv + HanabiVecEnv
+(cpp/hanabi_env.cc, rela/env.h): a single game is a pure `reset`/`step`
+function pair over an `EnvState` pytree; the batched variants are just vmap.
+Per-step randomness is stateless (a per-env PRNG key carried in the state and
+split at each reset).
+
+Semantics matched to the reference:
+  * actions are submitted for all players, only the current player's applies
+    (cpp/hanabi_env.cc:58-60);
+  * SAD mode records the outcome of the submitted greedy action on the
+    pre-move state and encodes it as an extra last-action block in the next
+    observation (cpp/hanabi_env.cc:82-91,154-160);
+  * Other-Play samples a per-player color permutation at reset with one
+    random player keeping identity (cpp/hanabi_env.cc:22-44); hint-color
+    actions are displayed permuted and inverse-permuted on the way in;
+  * per-player epsilon is sampled uniformly from the eps menu at reset
+    (cpp/hanabi_env.cc:18-20);
+  * with max_len > 0, the episode is force-terminated after max_len steps and
+    the reward forfeits all points (cpp/hanabi_env.cc:97-101).
+
+`shuffle_obs` (a 2-player partner-hand order shuffle) is rejected at
+construction: the reference trainer itself asserts it off
+(selfplay.py:174) and its exact encoder interaction lives in the
+unavailable submodule.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from hanabi_sad_tpu.game import encoder, moves
+from hanabi_sad_tpu.game.config import GameConfig
+from hanabi_sad_tpu.game.engine import apply_move, move_outcome
+from hanabi_sad_tpu.game.state import GameState, LastAction, empty_last_action, new_game, score
+
+
+@dataclasses.dataclass(frozen=True)
+class EnvConfig:
+    game: GameConfig = GameConfig()
+    eps_list: Tuple[float, ...] = (0.0,)
+    max_len: int = 80  # <= 0 means no forced termination
+    sad: bool = False
+    shuffle_color: bool = False
+    shuffle_obs: bool = False
+
+    def __post_init__(self):
+        if self.shuffle_obs:
+            raise NotImplementedError(
+                "shuffle_obs is asserted off in the reference trainer "
+                "(selfplay.py:174) and is not supported"
+            )
+
+    @property
+    def feature_size(self) -> int:
+        return self.game.feature_size(self.sad)
+
+
+class EnvState(NamedTuple):
+    game: GameState
+    num_step: jnp.ndarray  # i32
+    done: jnp.ndarray  # bool: game terminal OR forced termination
+    player_eps: jnp.ndarray  # [P] f32
+    color_perm: jnp.ndarray  # [P, C] i32; perm[c] = displayed color of true c
+    sad_record: LastAction  # greedy-action outcome for the SAD channel
+    key: jax.Array  # per-env PRNG key for the *next* reset
+    last_score: jnp.ndarray  # i32, score frozen at termination
+
+
+Obs = Dict[str, jnp.ndarray]
+
+
+def _sample_perms(cfg: GameConfig, key: jax.Array, shuffle_color: bool) -> jnp.ndarray:
+    P, C = cfg.players, cfg.num_colors
+    identity = jnp.tile(jnp.arange(C, dtype=jnp.int32)[None], (P, 1))
+    if not shuffle_color:
+        return identity
+    k_fix, k_perm = jax.random.split(key)
+    fix_player = jax.random.randint(k_fix, (), 0, P)
+    perms = jax.vmap(
+        lambda k: jax.random.permutation(k, jnp.arange(C, dtype=jnp.int32))
+    )(jax.random.split(k_perm, P))
+    keep = jnp.arange(P) == fix_player
+    return jnp.where(keep[:, None], identity, perms)
+
+
+def observe(cfg: EnvConfig, state: EnvState) -> Obs:
+    """Per-player observation dict, shapes [P, ...] — the TensorDict returned
+    by computeFeatureAndLegalMove (cpp/hanabi_env.cc:197-204)."""
+    g = cfg.game
+    players = jnp.arange(g.players, dtype=jnp.int32)
+
+    priv = jax.vmap(lambda p: encoder.encode_observation(g, state.game, p, state.color_perm[p]))(
+        players
+    )  # [P, obs_dim]
+    if cfg.sad:
+        sad_block = jax.vmap(
+            lambda p: encoder.encode_last_action(g, state.sad_record, p, state.color_perm[p])
+        )(players)
+        priv = jnp.concatenate([priv, sad_block], axis=-1)
+
+    legal = moves.legal_moves_all(g, state.game)  # [P, A] bool
+    if cfg.shuffle_color:
+        legal = jax.vmap(lambda l, perm: moves.permute_hint_colors(g, l, perm))(
+            legal, state.color_perm
+        )
+
+    own_hand = jax.vmap(lambda p: encoder.encode_own_hand_trinary(g, state.game, p))(players)
+
+    return {
+        "priv_s": priv.astype(jnp.float32),
+        "legal_move": legal.astype(jnp.float32),
+        "eps": state.player_eps,
+        "own_hand": own_hand,
+    }
+
+
+def reset(cfg: EnvConfig, key: jax.Array) -> Tuple[EnvState, Obs]:
+    g = cfg.game
+    k_deck, k_eps, k_perm, k_next = jax.random.split(key, 4)
+    game = new_game(g, k_deck)
+    eps_menu = jnp.asarray(cfg.eps_list, dtype=jnp.float32)
+    eps_idx = jax.random.randint(k_eps, (g.players,), 0, len(cfg.eps_list))
+    state = EnvState(
+        game=game,
+        num_step=jnp.asarray(0, dtype=jnp.int32),
+        done=jnp.asarray(False),
+        player_eps=eps_menu[eps_idx],
+        color_perm=_sample_perms(g, k_perm, cfg.shuffle_color),
+        sad_record=empty_last_action(g),
+        key=k_next,
+        last_score=jnp.asarray(-1, dtype=jnp.int32),
+    )
+    return state, observe(cfg, state)
+
+
+def step(cfg: EnvConfig, state: EnvState, action: Dict[str, jnp.ndarray]):
+    """One env step. action = {"a": [P] i32, "greedy_a": [P] i32} (greedy_a
+    only consumed in SAD mode). Returns (state, obs, reward, done). Stepping a
+    done env is a frozen no-op with zero reward — the rollout layer owns
+    resets."""
+    g = cfg.game
+    cur = state.game.cur_player
+    prev_score = score(state.game)
+
+    uid = action["a"][cur]
+    move = moves.decode_uid(g, uid)
+    inv = jnp.argsort(state.color_perm[cur])
+    move = move._replace(
+        color=jnp.where(move.move_type == 2, inv[jnp.clip(move.color, 0, g.num_colors - 1)], move.color)
+    )
+
+    if cfg.sad:
+        greedy_uid = action["greedy_a"][cur]
+        gmove = moves.decode_uid(g, greedy_uid)
+        gmove = gmove._replace(
+            color=jnp.where(
+                gmove.move_type == 2, inv[jnp.clip(gmove.color, 0, g.num_colors - 1)], gmove.color
+            )
+        )
+        sad_record = move_outcome(g, state.game, gmove)
+        # Freeze the record while done (padding steps).
+        sad_record = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(state.done, old, new), sad_record, state.sad_record
+        )
+    else:
+        sad_record = state.sad_record
+
+    new_game_state = apply_move(g, state.game, move)
+
+    num_step = state.num_step + jnp.where(state.done, 0, 1)
+    new_score = score(new_game_state)
+    reward = jnp.where(state.done, 0.0, (new_score - prev_score).astype(jnp.float32))
+
+    # Forced termination forfeits all points — even if the game also ended
+    # naturally on this exact step (cpp/hanabi_env.cc:97-101 overwrites
+    # unconditionally at numStep == maxLen).
+    forced = jnp.asarray(cfg.max_len > 0) & (num_step >= cfg.max_len)
+    reward = jnp.where(forced & ~state.done, (0 - prev_score).astype(jnp.float32), reward)
+    done = state.done | new_game_state.terminal | forced
+
+    last_score = jnp.where(
+        state.done, state.last_score, jnp.where(done, new_score, state.last_score)
+    )
+
+    new_state = EnvState(
+        game=new_game_state,
+        num_step=num_step,
+        done=done,
+        player_eps=state.player_eps,
+        color_perm=state.color_perm,
+        sad_record=sad_record,
+        key=state.key,
+        last_score=last_score,
+    )
+    return new_state, observe(cfg, new_state), reward, done
+
+
+class HanabiEnv:
+    """Thin batched facade: vmapped reset/step over N independent games."""
+
+    def __init__(self, cfg: EnvConfig):
+        self.cfg = cfg
+
+    @property
+    def feature_size(self) -> int:
+        return self.cfg.feature_size
+
+    @property
+    def num_actions(self) -> int:
+        return self.cfg.game.num_actions
+
+    def reset(self, keys: jax.Array):
+        """keys: [N, 2] PRNG keys -> (EnvState batch, obs batch)."""
+        return jax.vmap(lambda k: reset(self.cfg, k))(keys)
+
+    def step(self, state: EnvState, action: Dict[str, jnp.ndarray]):
+        return jax.vmap(lambda s, a: step(self.cfg, s, a))(state, action)
