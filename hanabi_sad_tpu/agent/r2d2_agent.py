@@ -1,0 +1,249 @@
+"""R2D2 agent: epsilon-greedy acting, n-step double-Q TD error, Huber loss,
+auxiliary own-hand loss, and priority aggregation.
+
+Pure-function re-design of the reference R2D2Agent (pyhanabi/r2d2.py:159-499)
+and rela::aggregatePriority (rela/r2d2_actor.h:10-21). The online/target pair
+is a pytree of two R2D2NetParams; "sync target" is a tree copy; acting and
+learning are both jittable and differentiable where needed.
+
+Shape conventions:
+  acting    — obs fields [N, P, ...] (N envs, P players), hidden [N, P, L, D]
+  learning  — sequence batches [T, B, Pi, ...] where Pi = num_player for VDN
+              and 1 for IQL (the reference's flat_4d collapse, r2d2.py:364-381)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from hanabi_sad_tpu.models import r2d2_net
+from hanabi_sad_tpu.models.r2d2_net import NetConfig, R2D2NetParams
+
+
+@dataclasses.dataclass(frozen=True)
+class AgentConfig:
+    net: NetConfig
+    vdn: bool = True
+    multi_step: int = 3
+    gamma: float = 0.999
+    eta: float = 0.9
+    uniform_priority: bool = False
+
+
+class AgentParams(NamedTuple):
+    online: R2D2NetParams
+    target: R2D2NetParams
+
+
+def init_agent(key: jax.Array, cfg: AgentConfig) -> AgentParams:
+    online = r2d2_net.init_r2d2_net(key, cfg.net)
+    # Materialize a distinct copy for the target net: aliased buffers break
+    # donation in the jitted train step (same buffer donated twice).
+    target = jax.tree_util.tree_map(lambda x: x + 0, online)
+    return AgentParams(online=online, target=target)
+
+
+def sync_target(params: AgentParams) -> AgentParams:
+    """target <- online (r2d2.py:231-232)."""
+    return AgentParams(online=params.online, target=params.online)
+
+
+# --------------------------------------------------------------------------
+# Acting (replaces the TorchScript `act` served by BatchRunner, r2d2.py:246-303)
+# --------------------------------------------------------------------------
+
+
+class Hidden(NamedTuple):
+    h: jnp.ndarray  # [N, P, L, D]
+    c: jnp.ndarray
+
+
+def init_hidden(cfg: AgentConfig, num_envs: int, players: int) -> Hidden:
+    shape = (num_envs, players, cfg.net.num_lstm_layer, cfg.net.hid_dim)
+    return Hidden(jnp.zeros(shape), jnp.zeros(shape))
+
+
+def act(
+    params: AgentParams,
+    cfg: AgentConfig,
+    obs: Dict[str, jnp.ndarray],
+    hidden: Hidden,
+    key: jax.Array,
+) -> Tuple[Dict[str, jnp.ndarray], Hidden]:
+    """Batched epsilon-greedy act for all envs and players at once.
+
+    obs: priv_s [N, P, F], legal_move [N, P, A], eps [N, P].
+    Returns ({"a","greedy_a"} [N, P] i32, new hidden). The random arm samples
+    uniformly over legal moves (legal_move.multinomial, r2d2.py:273-277).
+    """
+    N, P = obs["priv_s"].shape[:2]
+    flat = lambda x: x.reshape((N * P,) + x.shape[2:])
+    priv_s = flat(obs["priv_s"])
+    legal = flat(obs["legal_move"])
+    eps = flat(obs["eps"])
+
+    hid = {
+        "h0": hidden.h.reshape(N * P, cfg.net.num_lstm_layer, cfg.net.hid_dim),
+        "c0": hidden.c.reshape(N * P, cfg.net.num_lstm_layer, cfg.net.hid_dim),
+    }
+    greedy, new_hid = r2d2_net.greedy_act(params.online, cfg.net, priv_s, legal, hid)
+
+    k_rand, k_eps = jax.random.split(key)
+    logits = jnp.where(legal > 0, 0.0, -jnp.inf)
+    random_action = jax.random.categorical(k_rand, logits, axis=-1)
+    explore = jax.random.uniform(k_eps, eps.shape) < eps
+    action = jnp.where(explore, random_action, greedy).astype(jnp.int32)
+
+    unflat = lambda x: x.reshape(N, P)
+    reply = {"a": unflat(action), "greedy_a": unflat(greedy.astype(jnp.int32))}
+    new_hidden = Hidden(
+        h=new_hid["h0"].reshape(N, P, cfg.net.num_lstm_layer, cfg.net.hid_dim),
+        c=new_hid["c0"].reshape(N, P, cfg.net.num_lstm_layer, cfg.net.hid_dim),
+    )
+    return reply, new_hidden
+
+
+def reset_hidden_where(done: jnp.ndarray, hidden: Hidden) -> Hidden:
+    """Zero the hidden rows of envs that just reset (r2d2_actor.h:113-126)."""
+    mask = done[:, None, None, None]
+    return Hidden(
+        h=jnp.where(mask, 0.0, hidden.h),
+        c=jnp.where(mask, 0.0, hidden.c),
+    )
+
+
+# --------------------------------------------------------------------------
+# Learning (td_error / loss, r2d2.py:383-499)
+# --------------------------------------------------------------------------
+
+
+class Batch(NamedTuple):
+    """A replay sample: padded episode sequences.
+
+    priv_s [T, B, Pi, F]; legal_move [T, B, Pi, A]; action [T, B, Pi] i32;
+    own_hand [T, B, Pi, hand*3]; reward/terminal/bootstrap [T, B]; seq_len [B].
+    Pi = num_player (VDN) or 1 (IQL)."""
+
+    priv_s: jnp.ndarray
+    legal_move: jnp.ndarray
+    action: jnp.ndarray
+    own_hand: jnp.ndarray
+    reward: jnp.ndarray
+    terminal: jnp.ndarray
+    bootstrap: jnp.ndarray
+    seq_len: jnp.ndarray
+
+
+def td_error(
+    params: AgentParams, cfg: AgentConfig, batch: Batch
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Masked per-step n-step double-Q TD error over padded episodes
+    (r2d2.py:383-428). Returns (err [T, B], lstm_o [T, B, Pi, D])."""
+    T, B, Pi = batch.priv_s.shape[:3]
+    flat = lambda x: x.reshape((T, B * Pi) + x.shape[3:])
+    priv_s = flat(batch.priv_s)
+    legal = flat(batch.legal_move)
+    action = flat(batch.action)
+
+    # Online forward over the full padded sequence with zero initial hidden —
+    # valid because episodes are aligned to t=0 and padded (r2d2.py:395-401).
+    online_qa, greedy_a, _, lstm_o = r2d2_net.forward(
+        params.online, cfg.net, priv_s, legal, action, hid=None
+    )
+    target_qa, _, _, _ = r2d2_net.forward(
+        params.target, cfg.net, priv_s, legal, greedy_a, hid=None
+    )
+    target_qa = jax.lax.stop_gradient(target_qa)
+
+    if cfg.vdn:
+        online_qa = online_qa.reshape(T, B, Pi).sum(-1)
+        target_qa = target_qa.reshape(T, B, Pi).sum(-1)
+    else:
+        online_qa = online_qa.reshape(T, B)
+        target_qa = target_qa.reshape(T, B)
+    lstm_o = lstm_o.reshape(T, B, Pi, -1)
+
+    # n-step target via the time-roll trick (r2d2.py:418-421): the target for
+    # step t bootstraps from the target-net Q at t + multi_step; the stored
+    # reward is already the discounted n-step sum and `bootstrap` kills the
+    # tail where the episode ended inside the window.
+    n = cfg.multi_step
+    target_qa = jnp.concatenate([target_qa[n:], target_qa[:n]], axis=0)
+    target_qa = target_qa.at[-n:].set(0.0)
+
+    target = batch.reward + batch.bootstrap * (cfg.gamma ** n) * target_qa
+    mask = (jnp.arange(T)[:, None] < batch.seq_len[None, :]).astype(target.dtype)
+    err = (jax.lax.stop_gradient(target) - online_qa) * mask
+    return err, lstm_o
+
+
+def _huber(x: jnp.ndarray) -> jnp.ndarray:
+    """smooth_l1_loss(err, 0) with beta = 1 (r2d2.py:472-474)."""
+    ax = jnp.abs(x)
+    return jnp.where(ax < 1.0, 0.5 * x * x, ax - 0.5)
+
+
+def loss(
+    params: AgentParams,
+    cfg: AgentConfig,
+    batch: Batch,
+    pred_weight: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Per-episode loss and per-step priorities (r2d2.py:461-499).
+
+    Returns (loss [B], priority [T, B], stats dict)."""
+    err, lstm_o = td_error(params, cfg, batch)
+    rl_loss = _huber(err).sum(0)  # [B]
+    priority = jnp.abs(err)
+
+    stats = {"rl_loss": (rl_loss / batch.seq_len).mean()}
+
+    total = rl_loss
+    if pred_weight > 0:
+        T, B, Pi = batch.own_hand.shape[:3]
+        hand_size = cfg.net.hand_size
+        if cfg.vdn:
+            own_hand = batch.own_hand.reshape(T, B, Pi, hand_size, 3)
+            lstm_in = lstm_o  # [T, B, Pi, D]
+        else:
+            own_hand = batch.own_hand.reshape(T, B, hand_size, 3)
+            lstm_in = lstm_o.reshape(T, B, -1)
+        slot_mask = own_hand.sum(-1)
+        pred_loss, avg_xent = r2d2_net.pred_loss_1st(
+            params.online, lstm_in, own_hand, slot_mask, batch.seq_len
+        )
+        stats["aux1"] = avg_xent
+        total = rl_loss + pred_weight * pred_loss
+    return total, priority, stats
+
+
+def aggregate_priority(
+    priority: jnp.ndarray, seq_len: jnp.ndarray, eta: float
+) -> jnp.ndarray:
+    """eta * max + (1 - eta) * mean over the valid steps of each episode
+    (rela/r2d2_actor.h:10-21; mean divides by seq_len)."""
+    T = priority.shape[0]
+    mask = (jnp.arange(T)[:, None] < seq_len[None, :]).astype(priority.dtype)
+    p = priority * mask
+    p_mean = p.sum(0) / seq_len
+    p_max = p.max(0)
+    return eta * p_max + (1.0 - eta) * p_mean
+
+
+def compute_priority(
+    params: AgentParams, cfg: AgentConfig, batch: Batch
+) -> jnp.ndarray:
+    """Initial priority of freshly collected episodes: |n-step TD error| per
+    step, aggregated. Mathematically the reference's actor-side
+    compute_priority (r2d2.py:305-361) + aggregatePriority: our episodes are
+    aligned to t=0, so a full-sequence forward from zero hidden reproduces
+    the rollout's hidden states exactly and the per-step one-step-of-n-step
+    errors coincide with the roll-trick errors."""
+    if cfg.uniform_priority:
+        return jnp.ones_like(batch.seq_len, dtype=jnp.float32)
+    err, _ = td_error(params, cfg, batch)
+    return aggregate_priority(jnp.abs(err), batch.seq_len, cfg.eta)

@@ -1,0 +1,173 @@
+"""HBM-resident prioritized sequence replay.
+
+TPU-native redesign of rela::PrioritizedReplay<RNNTransition>
+(rela/prioritized_replay.h:180-368): the reference keeps episodes in a mutex-
+guarded CPU ring buffer with a linear-scan stratified sampler and async
+prefetch threads; here the whole buffer is a fixed-shape pytree living in
+device memory, writes are ring-cursor scatters, and the stratified
+proportional sampler is a cumsum + searchsorted — all inside jit, so sampling
+fuses into the training step and nothing ever crosses to the host.
+
+Semantics preserved:
+  * priorities are raised to alpha on add/update (prioritized_replay.h:192-197,
+    242-257);
+  * sampling is stratified proportional — one uniform draw per equal-weight
+    segment (prioritized_replay.h:274-326);
+  * importance weights (size * p / sum)^-beta, normalized by the batch max
+    (prioritized_replay.h:337-339);
+  * capacity eviction drops the oldest items (ring overwrite vs. the
+    reference's sample-time head eviction — statistically equivalent for an
+    asynchronous buffer).
+
+Observations are stored bitpacked (see bitpack.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from hanabi_sad_tpu.agent.r2d2_agent import Batch
+from hanabi_sad_tpu.replay.bitpack import pack_bits, packed_size, unpack_bits
+
+
+@dataclasses.dataclass(frozen=True)
+class ReplayConfig:
+    capacity: int  # episodes
+    seq_len: int  # T (max episode length, 80)
+    num_player: int  # Pi: players per item (VDN = P, IQL = 1)
+    obs_dim: int  # priv_s feature size
+    num_actions: int
+    hand_size: int = 5
+    alpha: float = 0.9  # priority exponent (--priority_exponent)
+    beta: float = 0.6  # IS exponent (--priority_weight)
+
+    @property
+    def bits_per_step(self) -> int:
+        return self.obs_dim + self.num_actions + 3 * self.hand_size
+
+    @property
+    def bytes_per_step(self) -> int:
+        return packed_size(self.bits_per_step)
+
+
+class ReplayState(NamedTuple):
+    packed: jnp.ndarray  # [cap, T, Pi, bytes] uint8: priv_s | legal | own_hand
+    action: jnp.ndarray  # [cap, T, Pi] i32
+    reward: jnp.ndarray  # [cap, T] f32 (n-step discounted)
+    bootstrap: jnp.ndarray  # [cap, T] f32
+    seq_len: jnp.ndarray  # [cap] f32
+    weight: jnp.ndarray  # [cap] f32 = priority**alpha
+    write_ptr: jnp.ndarray  # i32 ring cursor
+    size: jnp.ndarray  # i32 valid items
+    num_add: jnp.ndarray  # i32 lifetime adds
+
+
+def init_replay(cfg: ReplayConfig) -> ReplayState:
+    cap, T, Pi = cfg.capacity, cfg.seq_len, cfg.num_player
+    return ReplayState(
+        packed=jnp.zeros((cap, T, Pi, cfg.bytes_per_step), jnp.uint8),
+        action=jnp.zeros((cap, T, Pi), jnp.int32),
+        reward=jnp.zeros((cap, T), jnp.float32),
+        bootstrap=jnp.zeros((cap, T), jnp.float32),
+        seq_len=jnp.ones((cap,), jnp.float32),
+        weight=jnp.zeros((cap,), jnp.float32),
+        write_ptr=jnp.asarray(0, jnp.int32),
+        size=jnp.asarray(0, jnp.int32),
+        num_add=jnp.asarray(0, jnp.int32),
+    )
+
+
+class EpisodeBatch(NamedTuple):
+    """M new episodes to ingest (already n-step processed and padded)."""
+
+    priv_s: jnp.ndarray  # [M, T, Pi, F]
+    legal_move: jnp.ndarray  # [M, T, Pi, A]
+    own_hand: jnp.ndarray  # [M, T, Pi, 3*hand]
+    action: jnp.ndarray  # [M, T, Pi] i32
+    reward: jnp.ndarray  # [M, T]
+    bootstrap: jnp.ndarray  # [M, T]
+    seq_len: jnp.ndarray  # [M]
+
+
+def add(state: ReplayState, cfg: ReplayConfig, ep: EpisodeBatch, priority: jnp.ndarray) -> ReplayState:
+    """Ring-scatter M episodes with priority^alpha weights."""
+    M = ep.seq_len.shape[0]
+    idx = (state.write_ptr + jnp.arange(M, dtype=jnp.int32)) % cfg.capacity
+    bits = jnp.concatenate([ep.priv_s, ep.legal_move, ep.own_hand], axis=-1)
+    packed = pack_bits(bits)
+    return ReplayState(
+        packed=state.packed.at[idx].set(packed),
+        action=state.action.at[idx].set(ep.action.astype(jnp.int32)),
+        reward=state.reward.at[idx].set(ep.reward.astype(jnp.float32)),
+        bootstrap=state.bootstrap.at[idx].set(ep.bootstrap.astype(jnp.float32)),
+        seq_len=state.seq_len.at[idx].set(ep.seq_len.astype(jnp.float32)),
+        weight=state.weight.at[idx].set(jnp.power(priority, cfg.alpha)),
+        write_ptr=(state.write_ptr + M) % cfg.capacity,
+        size=jnp.minimum(state.size + M, cfg.capacity),
+        num_add=state.num_add + M,
+    )
+
+
+def sample(
+    state: ReplayState, cfg: ReplayConfig, key: jax.Array, batchsize: int
+) -> Tuple[Batch, jnp.ndarray, jnp.ndarray]:
+    """Stratified proportional sample of `batchsize` episodes.
+
+    Returns (Batch [T, B, Pi, ...], is_weight [B], indices [B]). The caller
+    must feed the indices back through update_priority after the gradient
+    step (the reference enforces this protocol with a runtime assert,
+    prioritized_replay.h:209-212; here the training loop is synchronous by
+    construction)."""
+    valid = jnp.arange(cfg.capacity) < state.size
+    w = jnp.where(valid, state.weight, 0.0)
+    cum = jnp.cumsum(w)
+    total = cum[-1]
+    seg = total / batchsize
+    u = jax.random.uniform(key, (batchsize,))
+    targets = (jnp.arange(batchsize) + u) * seg
+    targets = jnp.minimum(targets, total * (1 - 1e-6))
+    idx = jnp.searchsorted(cum, targets, side="right").astype(jnp.int32)
+    idx = jnp.minimum(idx, cfg.capacity - 1)
+
+    w_sel = w[idx]
+    p = w_sel / jnp.maximum(total, 1e-30)
+    is_w = jnp.power(state.size.astype(jnp.float32) * p, -cfg.beta)
+    is_w = is_w / jnp.maximum(is_w.max(), 1e-30)
+
+    packed = state.packed[idx]  # [B, T, Pi, bytes]
+    bits = unpack_bits(packed, cfg.bits_per_step)  # [B, T, Pi, n_bits]
+    F, A = cfg.obs_dim, cfg.num_actions
+    priv_s = bits[..., :F]
+    legal = bits[..., F : F + A]
+    own_hand = bits[..., F + A :]
+
+    seq_len = state.seq_len[idx]
+    T = cfg.seq_len
+    t_idx = jnp.arange(T, dtype=jnp.float32)[:, None]
+    terminal = (t_idx >= (seq_len[None, :] - 1)).astype(jnp.float32)
+
+    to_time_major = lambda x: jnp.swapaxes(x, 0, 1)  # [B, T, ...] -> [T, B, ...]
+    batch = Batch(
+        priv_s=to_time_major(priv_s),
+        legal_move=to_time_major(legal),
+        action=to_time_major(state.action[idx]),
+        own_hand=to_time_major(own_hand),
+        reward=to_time_major(state.reward[idx]),
+        terminal=terminal,
+        bootstrap=to_time_major(state.bootstrap[idx]),
+        seq_len=seq_len,
+    )
+    return batch, is_w, idx
+
+
+def update_priority(
+    state: ReplayState, cfg: ReplayConfig, idx: jnp.ndarray, priority: jnp.ndarray
+) -> ReplayState:
+    """Learner feedback: weight[idx] = priority^alpha (prioritized_replay.h:242-257).
+    Duplicate indices resolve to one of the writes (matching the reference's
+    sequential overwrite of dupes)."""
+    return state._replace(weight=state.weight.at[idx].set(jnp.power(priority, cfg.alpha)))

@@ -1,0 +1,84 @@
+"""Checkpointing.
+
+The reference saves weights-only .pthw state dicts and cannot truly resume
+(SURVEY.md §5: no optimizer/RNG/replay state). Here a full checkpoint carries
+params (online+target), optimizer state, the global update counter, and the
+PRNG keys — everything except the replay contents (whose distribution
+regenerates within one burn-in; persisting 1+ GB of transient experience is
+deliberately skipped, matching the reference's replay-free resume).
+
+Format: a pickled dict of numpy arrays keyed by pytree path — backend- and
+framework-neutral, loadable without jax.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def tree_to_numpy(tree) -> Any:
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def params_payload(params) -> Dict:
+    """Weights-only payload (the reference's .pthw equivalent)."""
+    return {"kind": "params", "params": tree_to_numpy(params)}
+
+
+def train_state_payload(state, config_dict: Dict) -> Dict:
+    """Full-resume payload. Replay contents excluded (see module docstring)."""
+    return {
+        "kind": "train_state",
+        "config": config_dict,
+        "params": tree_to_numpy(state.params),
+        "opt_state": tree_to_numpy(state.opt_state),
+        "num_update": int(state.num_update),
+        "env_key": np.asarray(state.env_key),
+        "sample_key": np.asarray(state.sample_key),
+    }
+
+
+def save(path: str, payload: Dict) -> None:
+    with open(path, "wb") as f:
+        pickle.dump(payload, f)
+
+
+def load(path: str) -> Dict:
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def restore_train_state(payload: Dict, state):
+    """Rebuild a TrainState from a payload onto a freshly initialized state
+    (the fresh state supplies the replay buffer and pytree structure)."""
+    assert payload["kind"] == "train_state"
+    import jax.numpy as jnp
+
+    def like(template, saved):
+        return jax.tree_util.tree_map(
+            lambda t, s: jnp.asarray(s, dtype=t.dtype), template, saved
+        )
+
+    return state._replace(
+        params=like(state.params, payload["params"]),
+        opt_state=like(state.opt_state, payload["opt_state"]),
+        num_update=jnp.asarray(payload["num_update"], jnp.int32),
+        env_key=jnp.asarray(payload["env_key"], state.env_key.dtype),
+        sample_key=jnp.asarray(payload["sample_key"], state.sample_key.dtype),
+    )
+
+
+def load_params_into(payload: Dict, params_template):
+    """Load a weights payload (params or train_state) onto a params pytree,
+    tolerating the reference loader's missing/extra-key behavior
+    (utils.py:278-299) by matching tree structure strictly but dtypes loosely."""
+    import jax.numpy as jnp
+
+    saved = payload["params"]
+    return jax.tree_util.tree_map(
+        lambda t, s: jnp.asarray(s, dtype=t.dtype), params_template, saved
+    )

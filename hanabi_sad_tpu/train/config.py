@@ -1,0 +1,158 @@
+"""Training configuration — the reference's full flag surface
+(selfplay.py:26-86) plus the TPU-native execution knobs, with the shell
+presets (tools/dev.sh, iql_2player.sh, vdn_2player.sh, sad_2player.sh,
+op_2player.sh) expressed as config dicts.
+
+Execution-model note: the reference is asynchronous (80 actor threads feed a
+replay while the learner trains); here one SPMD program alternates a rollout
+chunk (num_envs games to completion, <= max_len steps) with
+`num_update_per_chunk` gradient updates. The replay ratio — train frames per
+generated frame — is the quantity to match when comparing learning curves:
+ratio = num_update_per_chunk * batchsize / (num_envs * players_per_item).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    save_dir: str = "exps/exp1"
+    method: str = "vdn"  # "vdn" | "iql"
+    shuffle_obs: bool = False
+    shuffle_color: bool = False  # Other-Play
+    pred_weight: float = 0.0  # aux own-hand loss weight (SAD-AUX)
+    num_eps: int = 80
+
+    load_model: str = ""
+
+    seed: int = 10001
+    gamma: float = 0.99
+    eta: float = 0.9
+    train_bomb: int = 0
+    eval_bomb: int = 0
+    sad: bool = False
+    num_player: int = 2
+    hand_size: int = 5
+
+    lr: float = 6.25e-5
+    adam_eps: float = 1.5e-4
+    grad_clip: float = 50.0
+    num_lstm_layer: int = 2
+    rnn_hid_dim: int = 512
+    num_fc_layer: int = 1
+    skip_connect: bool = False
+
+    batchsize: int = 128
+    num_epoch: int = 5000
+    epoch_len: int = 1000
+    num_update_between_sync: int = 2500
+
+    multi_step: int = 3
+
+    burn_in_frames: int = 80000
+    replay_buffer_size: int = 2 ** 20
+    priority_exponent: float = 0.6  # alpha
+    priority_weight: float = 0.4  # beta
+    max_len: int = 80
+
+    act_base_eps: float = 0.4
+    act_eps_alpha: float = 7.0
+
+    # --- TPU-native execution knobs (replace thread/device flags) ---
+    num_envs: int = 1024  # parallel games per rollout chunk
+    num_update_per_chunk: int = 16  # gradient steps between chunks
+    num_eval_game: int = 1000
+    eval_max_steps: int = 128  # > longest possible game; eval has no forced cap
+    eval_freq_epochs: int = 1
+
+    def __post_init__(self):
+        assert self.method in ("vdn", "iql")
+
+    @property
+    def vdn(self) -> bool:
+        return self.method == "vdn"
+
+    def derived(self) -> "TrainConfig":
+        """VDN divides batch/buffer/burn-in by num_player (selfplay.py:103-106)."""
+        if not self.vdn:
+            return self
+        return dataclasses.replace(
+            self,
+            batchsize=int(round(self.batchsize / self.num_player)),
+            replay_buffer_size=self.replay_buffer_size // self.num_player,
+            burn_in_frames=self.burn_in_frames // self.num_player,
+        )
+
+
+def generate_explore_eps(base_eps: float, alpha: float, num_env: int) -> Tuple[float, ...]:
+    """eps_i = base ** (1 + i/(n-1) * alpha), zero-clamped (utils.py:367-379)."""
+    if num_env == 1:
+        return (0.0 if base_eps < 1e-6 else base_eps,)
+    out = []
+    for i in range(num_env):
+        eps = base_eps ** (1 + i / (num_env - 1) * alpha)
+        out.append(0.0 if eps < 1e-6 else eps)
+    return tuple(out)
+
+
+# Shell-preset hyperparameters, matched line-by-line to the reference launch
+# scripts (pyhanabi/tools/*.sh). Common to all: lr 6.25e-5, adam eps 1.5e-5,
+# grad clip 5, gamma .999, eps menu base .1 alpha 7, prioritized alpha .9
+# beta .6, buffer 2^17, batch 128.
+_COMMON = dict(
+    act_base_eps=0.1,
+    act_eps_alpha=7.0,
+    lr=6.25e-5,
+    adam_eps=1.5e-5,
+    grad_clip=5.0,
+    gamma=0.999,
+    batchsize=128,
+    replay_buffer_size=2 ** 17,
+    burn_in_frames=10000,
+    priority_exponent=0.9,
+    priority_weight=0.6,
+    epoch_len=1000,
+    num_player=2,
+    rnn_hid_dim=512,
+    multi_step=3,
+)
+
+PRESETS: Dict[str, Dict] = {
+    # tools/dev.sh — small smoke-test run (iql + sad + shuffle_color)
+    "dev": dict(
+        _COMMON,
+        method="iql",
+        sad=True,
+        shuffle_color=True,
+        burn_in_frames=5000,
+        epoch_len=400,
+        num_epoch=10,
+        seed=1,
+        num_envs=256,
+        num_update_per_chunk=8,
+        num_eval_game=200,
+    ),
+    # tools/iql_2player.sh
+    "iql_2p": dict(_COMMON, method="iql", seed=9),
+    # tools/vdn_2player.sh
+    "vdn_2p": dict(_COMMON, method="vdn", seed=9),
+    # tools/sad_2player.sh — the headline SAD config
+    "sad_2p": dict(_COMMON, method="vdn", sad=True, seed=9),
+    # tools/op_2player.sh — Other-Play VDN
+    "op_2p": dict(_COMMON, method="vdn", shuffle_color=True, seed=9),
+    # SAD + aux + Other-Play — the configuration behind the released
+    # sad-aux-op models (README.md:39-40; flags sad/pred_weight/shuffle_color
+    # from selfplay.py:30-42)
+    "sad_aux_op_2p": dict(
+        _COMMON, method="vdn", sad=True, shuffle_color=True, pred_weight=0.25, seed=9
+    ),
+}
+
+
+def make_config(preset: Optional[str] = None, **overrides) -> TrainConfig:
+    base = dict(PRESETS[preset]) if preset else {}
+    base.update(overrides)
+    return TrainConfig(**base)

@@ -1,0 +1,283 @@
+"""The learner: one jitted SPMD program per training chunk.
+
+Replaces the reference's learner hot loop (selfplay.py:208-241) plus the
+entire asynchronous actor machinery around it. One `train_chunk` call:
+
+  1. rolls out `num_envs` complete (padded) episodes of epsilon-greedy
+     self-play with the current online params — the actor side;
+  2. computes their initial priorities (the actor's compute_priority calls,
+     r2d2_actor.h:154-156) and ring-writes them into the device replay;
+  3. runs `num_update_per_chunk` gradient updates, each sampling the replay,
+     applying the IS-weighted Huber TD + aux loss, clipping the global grad
+     norm, stepping Adam, and scattering updated priorities back;
+  4. syncs the target net whenever the global update counter crosses
+     `num_update_between_sync` (selfplay.py:210-211).
+
+Weight sync to actors (BatchRunner::updateModel, selfplay.py:212-213) is
+implicit: the next chunk's rollout reads the freshly updated params — actor
+staleness is bounded by num_update_per_chunk instead of actor_sync_freq.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from hanabi_sad_tpu.agent import r2d2_agent
+from hanabi_sad_tpu.agent.r2d2_agent import AgentConfig, AgentParams
+from hanabi_sad_tpu.game.config import GameConfig
+from hanabi_sad_tpu.game.env import EnvConfig
+from hanabi_sad_tpu.models.r2d2_net import NetConfig
+from hanabi_sad_tpu.replay import prioritized as replay_mod
+from hanabi_sad_tpu.replay.prioritized import ReplayConfig, ReplayState
+from hanabi_sad_tpu.rollout import runner
+from hanabi_sad_tpu.train.config import TrainConfig, generate_explore_eps
+
+
+class TrainState(NamedTuple):
+    params: AgentParams
+    opt_state: optax.OptState
+    replay: ReplayState
+    num_update: jnp.ndarray  # i32 global gradient-step counter
+    env_key: jax.Array
+    sample_key: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class Setup:
+    """All static configs derived from a TrainConfig."""
+
+    train: TrainConfig
+    env: EnvConfig
+    eval_env: EnvConfig
+    agent: AgentConfig
+    eval_agent: AgentConfig  # vdn=False clone for evaluation (selfplay.py:195)
+    replay: ReplayConfig
+
+    @property
+    def players_per_item(self) -> int:
+        return self.train.num_player if self.train.vdn else 1
+
+    @property
+    def items_per_chunk(self) -> int:
+        mult = 1 if self.train.vdn else self.train.num_player
+        return self.train.num_envs * mult
+
+
+def make_setup(cfg: TrainConfig) -> Setup:
+    cfg = cfg.derived()
+    game = GameConfig(players=cfg.num_player, hand_size=cfg.hand_size, bomb=cfg.train_bomb)
+    eps_list = generate_explore_eps(cfg.act_base_eps, cfg.act_eps_alpha, cfg.num_eps)
+    env = EnvConfig(
+        game=game,
+        eps_list=eps_list,
+        max_len=cfg.max_len,
+        sad=cfg.sad,
+        shuffle_color=cfg.shuffle_color,
+    )
+    eval_env = EnvConfig(
+        game=GameConfig(players=cfg.num_player, hand_size=cfg.hand_size, bomb=cfg.eval_bomb),
+        eps_list=(0.0,),
+        max_len=-1,
+        sad=cfg.sad,
+        shuffle_color=False,
+    )
+    net = NetConfig(
+        in_dim=env.feature_size,
+        hid_dim=cfg.rnn_hid_dim,
+        out_dim=game.num_actions,
+        num_lstm_layer=cfg.num_lstm_layer,
+        hand_size=cfg.hand_size,
+        num_fc_layer=cfg.num_fc_layer,
+        skip_connect=cfg.skip_connect,
+    )
+    agent = AgentConfig(
+        net=net,
+        vdn=cfg.vdn,
+        multi_step=cfg.multi_step,
+        gamma=cfg.gamma,
+        eta=cfg.eta,
+    )
+    eval_agent = dataclasses.replace(agent, vdn=False)
+    replay = ReplayConfig(
+        capacity=cfg.replay_buffer_size,
+        seq_len=cfg.max_len,
+        num_player=cfg.num_player if cfg.vdn else 1,
+        obs_dim=env.feature_size,
+        num_actions=game.num_actions,
+        hand_size=cfg.hand_size,
+        alpha=cfg.priority_exponent,
+        beta=cfg.priority_weight,
+    )
+    return Setup(
+        train=cfg, env=env, eval_env=eval_env, agent=agent, eval_agent=eval_agent,
+        replay=replay,
+    )
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    """clip-then-Adam, matching clip_grad_norm_ + torch.optim.Adam
+    (selfplay.py:149, 231-234)."""
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.adam(cfg.lr, eps=cfg.adam_eps),
+    )
+
+
+def init_train_state(setup: Setup, key: jax.Array) -> TrainState:
+    k_net, k_env, k_sample = jax.random.split(key, 3)
+    params = r2d2_agent.init_agent(k_net, setup.agent)
+    opt_state = make_optimizer(setup.train).init(params.online)
+    return TrainState(
+        params=params,
+        opt_state=opt_state,
+        replay=replay_mod.init_replay(setup.replay),
+        num_update=jnp.asarray(0, jnp.int32),
+        env_key=k_env,
+        sample_key=k_sample,
+    )
+
+
+# --------------------------------------------------------------------------
+
+
+def collect_chunk(
+    setup: Setup, params: AgentParams, env_key: jax.Array
+) -> Tuple[replay_mod.EpisodeBatch, jnp.ndarray, Dict[str, jnp.ndarray], jax.Array]:
+    """Roll one chunk of full episodes, build replay items + priorities."""
+    cfg = setup.train
+    env_key, k_envs, k_act = jax.random.split(env_key, 3)
+    keys = jax.random.split(k_envs, cfg.num_envs)
+    out = runner.run_episode_chunk(
+        params, setup.agent, setup.env, keys, k_act, cfg.max_len
+    )
+    episodes = runner.chunk_to_episodes(out, setup.agent)
+    batch = runner.episodes_to_batch(episodes)
+    priority = r2d2_agent.compute_priority(params, setup.agent, batch)
+    stats = {
+        "chunk_score": out.last_score.astype(jnp.float32).mean(),
+        "chunk_len": episodes.seq_len.mean(),
+        "chunk_frames": episodes.seq_len.sum(),
+    }
+    return episodes, priority, stats, env_key
+
+
+def sgd_update(
+    setup: Setup,
+    optimizer: optax.GradientTransformation,
+    state: TrainState,
+) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """One prioritized-replay gradient step (selfplay.py:208-241)."""
+    cfg = setup.train
+
+    # Target sync on the global counter (selfplay.py:210-211).
+    do_sync = state.num_update % cfg.num_update_between_sync == 0
+    params = AgentParams(
+        online=state.params.online,
+        target=jax.tree_util.tree_map(
+            lambda o, t: jnp.where(do_sync, o, t), state.params.online, state.params.target
+        ),
+    )
+
+    sample_key, k = jax.random.split(state.sample_key)
+    batch, is_weight, idx = replay_mod.sample(
+        state.replay, setup.replay, k, cfg.batchsize
+    )
+
+    def loss_fn(online):
+        p = AgentParams(online=online, target=params.target)
+        per_ep_loss, priority, stats = r2d2_agent.loss(
+            p, setup.agent, batch, cfg.pred_weight
+        )
+        return (per_ep_loss * is_weight).mean(), (priority, stats)
+
+    (loss_val, (priority, stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        params.online
+    )
+    grad_norm = optax.global_norm(grads)
+    updates, opt_state = optimizer.update(grads, state.opt_state, params.online)
+    online = optax.apply_updates(params.online, updates)
+
+    agg = r2d2_agent.aggregate_priority(priority, batch.seq_len, cfg.eta)
+    replay = replay_mod.update_priority(state.replay, setup.replay, idx, agg)
+
+    new_state = TrainState(
+        params=AgentParams(online=online, target=params.target),
+        opt_state=opt_state,
+        replay=replay,
+        num_update=state.num_update + 1,
+        env_key=state.env_key,
+        sample_key=sample_key,
+    )
+    metrics = {"loss": loss_val, "grad_norm": grad_norm}
+    metrics.update(stats)
+    return new_state, metrics
+
+
+def _train_chunk_impl(
+    setup: Setup, optimizer: optax.GradientTransformation, state: TrainState
+) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    cfg = setup.train
+    episodes, priority, chunk_stats, env_key = collect_chunk(
+        setup, state.params, state.env_key
+    )
+    replay = replay_mod.add(state.replay, setup.replay, episodes, priority)
+    state = state._replace(replay=replay, env_key=env_key)
+
+    def body(s, _):
+        return sgd_update(setup, optimizer, s)
+
+    state, metrics = jax.lax.scan(body, state, None, length=cfg.num_update_per_chunk)
+    out = {k: v.mean() for k, v in metrics.items()}
+    out.update(chunk_stats)
+    return state, out
+
+
+def make_train_chunk(setup: Setup):
+    """Build the jitted chunk step. Donates the TrainState so the replay
+    buffer updates in place (no 2x HBM)."""
+    optimizer = make_optimizer(setup.train)
+    fn = functools.partial(_train_chunk_impl, setup, optimizer)
+    return jax.jit(fn, donate_argnums=(0,))
+
+
+def make_collect_only(setup: Setup):
+    """Jitted warm-up step: collect + add, no gradient updates
+    (the burn-in loop, selfplay.py:180-182)."""
+
+    def impl(state: TrainState) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        episodes, priority, stats, env_key = collect_chunk(
+            setup, state.params, state.env_key
+        )
+        replay = replay_mod.add(state.replay, setup.replay, episodes, priority)
+        return state._replace(replay=replay, env_key=env_key), stats
+
+    return jax.jit(impl, donate_argnums=(0,))
+
+
+def make_evaluator(setup: Setup, num_games: int):
+    """Jitted greedy self-play evaluation (eval.py:19-66). Returns
+    (mean_score, perfect_rate, scores)."""
+    P = setup.train.num_player
+
+    def impl(params: AgentParams, seed: jnp.ndarray):
+        # per-game keys derived from the epoch's eval seed (selfplay.py:255)
+        keys = jax.vmap(lambda i: jax.random.fold_in(jax.random.PRNGKey(seed), i))(
+            jnp.arange(num_games)
+        )
+        scores, done = runner.eval_rollout(
+            [params] * P,
+            [setup.eval_agent] * P,
+            setup.eval_env,
+            keys,
+            num_steps=setup.train.eval_max_steps,
+        )
+        scores = scores.astype(jnp.float32)
+        return scores.mean(), (scores == setup.env.game.max_score).mean(), scores
+
+    return jax.jit(impl)

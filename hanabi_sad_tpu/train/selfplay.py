@@ -1,0 +1,174 @@
+"""Self-play training driver.
+
+The `selfplay.py` of this framework (reference pyhanabi/selfplay.py:89-281):
+flags -> config, burn-in, epoch loop of jitted train chunks, per-epoch greedy
+evaluation, top-k checkpointing, throughput/loss telemetry. All compute runs
+on-device; the host loop only sequences chunks and logs.
+
+Run:  python -m hanabi_sad_tpu.train.selfplay --preset dev --save_dir exps/dev
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import pprint
+import sys
+import time
+
+import jax
+import numpy as np
+
+from hanabi_sad_tpu.train import checkpoint as ckpt
+from hanabi_sad_tpu.train import learner
+from hanabi_sad_tpu.train.config import PRESETS, TrainConfig, make_config
+from hanabi_sad_tpu.utils import Logger, MultiCounter, Stopwatch, Tachometer, TopkSaver
+
+
+def parse_args(argv=None) -> TrainConfig:
+    parser = argparse.ArgumentParser(description="train dqn on hanabi (TPU)")
+    parser.add_argument("--preset", type=str, default=None, choices=sorted(PRESETS))
+    defaults = TrainConfig()
+    for f in dataclasses.fields(TrainConfig):
+        if f.type == "bool" or isinstance(getattr(defaults, f.name), bool):
+            parser.add_argument(f"--{f.name}", type=int, default=None)
+        else:
+            parser.add_argument(
+                f"--{f.name}", type=type(getattr(defaults, f.name)), default=None
+            )
+    args = parser.parse_args(argv)
+    overrides = {
+        f.name: getattr(args, f.name)
+        for f in dataclasses.fields(TrainConfig)
+        if getattr(args, f.name) is not None
+    }
+    for k, v in overrides.items():
+        if isinstance(getattr(defaults, k), bool):
+            overrides[k] = bool(v)
+    return make_config(args.preset, **overrides)
+
+
+def train(cfg: TrainConfig, *, max_chunks: int = 0) -> dict:
+    """Run training. max_chunks > 0 truncates (for smoke tests). Returns a
+    summary dict of the final state."""
+    os.makedirs(cfg.save_dir, exist_ok=True)
+    logger = Logger(os.path.join(cfg.save_dir, "train.log"))
+    stdout = sys.stdout
+    sys.stdout = logger
+    try:
+        return _train_impl(cfg, max_chunks=max_chunks)
+    finally:
+        sys.stdout = stdout
+        logger.close()
+
+
+def _train_impl(cfg: TrainConfig, max_chunks: int) -> dict:
+    pprint.pprint(dataclasses.asdict(cfg))
+    saver = TopkSaver(cfg.save_dir, 5)
+
+    setup = learner.make_setup(cfg)
+    cfg = setup.train  # post-derived (VDN divisors)
+    print(
+        f"devices: {jax.devices()}; feature_size={setup.env.feature_size}, "
+        f"actions={setup.env.game.num_actions}, replay items/chunk={setup.items_per_chunk}, "
+        f"replay ratio={cfg.num_update_per_chunk * cfg.batchsize / setup.items_per_chunk:.2f}"
+    )
+
+    state = learner.init_train_state(setup, jax.random.PRNGKey(cfg.seed))
+    if cfg.load_model:
+        print("*****loading pretrained model*****")
+        payload = ckpt.load(cfg.load_model)
+        params = ckpt.load_params_into(payload, state.params)
+        state = state._replace(params=params)
+        print("*****done*****")
+
+    train_chunk = learner.make_train_chunk(setup)
+    collect_only = learner.make_collect_only(setup)
+    evaluator = learner.make_evaluator(setup, cfg.num_eval_game)
+
+    # ---- burn-in (selfplay.py:180-182) ----
+    while int(state.replay.size) < cfg.burn_in_frames:
+        state, stats = collect_only(state)
+        print(
+            f"warming up replay buffer: {int(state.replay.size)} "
+            f"(chunk score {float(stats['chunk_score']):.2f})"
+        )
+    print("Success, Done")
+    print("=======================")
+
+    stat = MultiCounter()
+    tachometer = Tachometer()
+    stopwatch = Stopwatch()
+    num_act_total = 0
+    chunks_per_epoch = max(1, cfg.epoch_len // cfg.num_update_per_chunk)
+    count_factor = cfg.num_player if cfg.vdn else 1
+
+    summary = {}
+    total_chunks = 0
+    for epoch in range(cfg.num_epoch):
+        print(f"beginning of epoch: {epoch}")
+        tachometer.start()
+        stat.reset()
+        stopwatch.reset()
+
+        epoch_frames = 0
+        for _ in range(chunks_per_epoch):
+            state, metrics = train_chunk(state)
+            total_chunks += 1
+            if total_chunks == 1:
+                jax.block_until_ready(metrics["loss"])  # count compile separately
+                stopwatch.time("compile")
+            metrics = {k: float(v) for k, v in metrics.items()}
+            stopwatch.time("train chunk")
+            stat.feed_dict(
+                {k: v for k, v in metrics.items() if k in ("loss", "grad_norm", "rl_loss", "aux1", "chunk_score", "chunk_len")}
+            )
+            epoch_frames += int(metrics["chunk_frames"])
+            num_act_total += int(metrics["chunk_frames"]) * cfg.num_player
+            if max_chunks and total_chunks >= max_chunks:
+                break
+
+        print(f"EPOCH: {epoch}")
+        print(
+            tachometer.lap(
+                num_act_total,
+                int(state.replay.num_add),
+                chunks_per_epoch * cfg.num_update_per_chunk * cfg.batchsize,
+                count_factor,
+            )
+        )
+        print(stopwatch.summary())
+        print(stat.summary(epoch))
+
+        # ---- eval + checkpoint (selfplay.py:254-277) ----
+        eval_seed = (9917 + epoch * 999999) % 7777777
+        score, perfect, _ = evaluator(state.params, np.uint32(eval_seed))
+        score, perfect = float(score), float(perfect)
+        stopwatch.time("eval")
+        force = f"model_epoch{epoch}" if (epoch > 0 and epoch % 50 == 0) else None
+        model_saved = saver.save(
+            ckpt.params_payload(state.params.online), score, force_save_name=force
+        )
+        ckpt.save(
+            os.path.join(cfg.save_dir, "latest.pkl"),
+            ckpt.train_state_payload(state, dataclasses.asdict(cfg)),
+        )
+        print(
+            "epoch %d, eval score: %.4f, perfect: %.2f, model saved: %s"
+            % (epoch, score, perfect * 100, model_saved)
+        )
+        summary = {
+            "epoch": epoch,
+            "eval_score": score,
+            "perfect": perfect,
+            "num_update": int(state.num_update),
+        }
+        print("==========")
+        if max_chunks and total_chunks >= max_chunks:
+            break
+    return summary
+
+
+if __name__ == "__main__":
+    train(parse_args())
