@@ -22,7 +22,7 @@ Evaluation uses the same scan with a done-latch and no forced termination
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Sequence, Tuple
+from typing import Dict, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -197,16 +197,24 @@ def eval_rollout(
     env_cfg: EnvConfig,
     keys: jnp.ndarray,
     num_steps: int = 128,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    act_fns: Optional[Sequence] = None,
+    return_actions: bool = False,
+):
     """Greedy evaluation of N games (eval.py:19-66): eps = 0, no forced
     termination (pass env_cfg with max_len <= 0), done-latch until all games
     finish. Different params per seat make this the cross-play harness
     (cpp/thread_loop.h:61-70 per-player actor split).
 
+    `act_fns` optionally overrides the per-seat act function (signature of
+    r2d2_agent.act) — how non-R2D2 policies like the OBL PublicLSTM play in
+    this pipeline.
+
     Returns (scores [N], done [N])."""
     N = keys.shape[0]
     P = env_cfg.game.players
     assert len(params_per_player) == P
+    if act_fns is None:
+        act_fns = [r2d2_agent.act] * P
 
     env_state, obs = jax.vmap(lambda k: env_mod.reset(env_cfg, k))(keys)
     hiddens = [r2d2_agent.init_hidden(cfg, N, 1) for cfg in agent_cfgs]
@@ -220,7 +228,7 @@ def eval_rollout(
                 "legal_move": obs["legal_move"][:, p : p + 1],
                 "eps": jnp.zeros((N, 1)),  # greedy
             }
-            reply, hid = r2d2_agent.act(
+            reply, hid = act_fns[p](
                 params_per_player[p], agent_cfgs[p], p_obs, hiddens[p],
                 jax.random.PRNGKey(0),  # eps == 0: key unused
             )
@@ -228,12 +236,17 @@ def eval_rollout(
             greedy.append(reply["greedy_a"][:, 0])
             new_hiddens.append(hid)
         action = {"a": jnp.stack(actions, 1), "greedy_a": jnp.stack(greedy, 1)}
+        was_done = env_state.done
+        cur = env_state.game.cur_player
+        applied = jnp.take_along_axis(action["a"], cur[:, None], axis=1)[:, 0]
         env_state, obs, reward, done = jax.vmap(
             lambda s, a: env_mod.step(env_cfg, s, a)
         )(env_state, action)
-        return (env_state, obs, new_hiddens), None
+        return (env_state, obs, new_hiddens), (applied, was_done)
 
-    (env_state, _, _), _ = jax.lax.scan(
+    (env_state, _, _), (applied, was_done) = jax.lax.scan(
         body, (env_state, obs, hiddens), None, length=num_steps
     )
+    if return_actions:
+        return env_state.last_score, env_state.done, applied, was_done
     return env_state.last_score, env_state.done

@@ -3,5 +3,18 @@ from hanabi_sad_tpu.utils.saver import TopkSaver
 from hanabi_sad_tpu.utils.counters import MultiCounter, ValueStats
 from hanabi_sad_tpu.utils.stopwatch import Stopwatch
 from hanabi_sad_tpu.utils.tachometer import Tachometer
+from hanabi_sad_tpu.utils.helper import set_all_seeds, generate_log_uniform, get_mem_usage
+from hanabi_sad_tpu.utils import belief
 
-__all__ = ["Logger", "TopkSaver", "MultiCounter", "ValueStats", "Stopwatch", "Tachometer"]
+__all__ = [
+    "Logger",
+    "TopkSaver",
+    "MultiCounter",
+    "ValueStats",
+    "Stopwatch",
+    "Tachometer",
+    "set_all_seeds",
+    "generate_log_uniform",
+    "get_mem_usage",
+    "belief",
+]

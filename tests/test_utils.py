@@ -1,0 +1,78 @@
+"""Utils tests: counters, saver, belief fixed-point, helpers."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hanabi_sad_tpu.utils import MultiCounter, Stopwatch, TopkSaver, belief
+from hanabi_sad_tpu.utils.counters import num2str, sec2str
+
+
+class TestCounters:
+    def test_value_stats(self):
+        c = MultiCounter()
+        for v in [1.0, 2.0, 3.0]:
+            c["loss"].feed(v)
+        assert c["loss"].mean() == 2.0
+        s = c.summary(0)
+        assert "loss" in s
+
+    def test_num2str(self):
+        assert num2str(500) == "500"
+        assert num2str(1500) == "1.50K"
+        assert num2str(2_500_000) == "2.50M"
+
+    def test_sec2str(self):
+        assert sec2str(3661) == "1:01:01"
+
+
+class TestSaver:
+    def test_topk_keeps_best(self, tmp_path):
+        saver = TopkSaver(str(tmp_path), topk=2)
+        assert saver.save({"w": 1}, 10.0)
+        assert saver.save({"w": 2}, 20.0)
+        assert not saver.save({"w": 3}, 5.0)  # worse than both
+        assert saver.save({"w": 4}, 15.0)  # replaces the 10.0 slot
+        files = sorted(os.listdir(tmp_path))
+        assert files == ["model0.pkl", "model1.pkl"]
+        assert sorted(saver.perfs) == [15.0, 20.0]
+
+    def test_force_save(self, tmp_path):
+        saver = TopkSaver(str(tmp_path), topk=1)
+        saver.save({"w": 1}, -1.0, force_save_name="model_epoch50")
+        assert os.path.exists(tmp_path / "model_epoch50.pkl")
+
+
+class TestStopwatch:
+    def test_phases(self):
+        sw = Stopwatch()
+        sw.time("a")
+        sw.time("b")
+        s = sw.summary()
+        assert "a" in s and "b" in s
+
+
+class TestBelief:
+    def test_v1_fixed_point_properties(self):
+        rng = np.random.RandomState(0)
+        B, S = 2, 10
+        counts = jnp.asarray(
+            np.tile(np.tile([3, 2, 2, 2, 1], 5)[None], (B, 1)), jnp.float32
+        )
+        mask = (rng.rand(B, S, 25) > 0.5).astype(np.float32)
+        mask[..., 0] = 1.0
+        v0 = jnp.asarray(mask * counts[:, None, :] / 10.0)
+        v1 = belief.get_v1(v0, counts, max_count=50)
+        v1n = np.asarray(v1)
+        # normalized distributions supported only where v0 allows
+        np.testing.assert_allclose(v1n.sum(-1), np.ones((B, S)), atol=1e-4)
+        assert (v1n[np.asarray(v0) == 0] < 1e-6).all()
+        assert belief.check_v1(v0, v1, counts, atol=1e-3)
+
+    def test_check_trajectory(self):
+        term = jnp.asarray([0, 0, 0, 1, 1, 1], jnp.float32)
+        assert belief.check_trajectory(jnp.zeros((6, 4)), term) == 3
+        with pytest.raises(AssertionError):
+            belief.check_trajectory(jnp.zeros((3, 2)), jnp.asarray([1.0, 0.0, 1.0]))
