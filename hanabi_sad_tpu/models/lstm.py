@@ -42,8 +42,10 @@ def init_lstm(key: jax.Array, in_dim: int, hid_dim: int, num_layers: int) -> LST
 
 
 def _cell(p: LSTMLayerParams, x: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray):
-    """One LSTM cell step. x: [B, in], h/c: [B, H] -> (h', c')."""
-    gates = x @ p["w_ih"] + h @ p["w_hh"] + p["b"]
+    """One LSTM cell step in x.dtype (bf16-friendly: the two fused matmuls hit
+    the MXU; the cell state keeps x's dtype). x: [B, in], h/c: [B, H]."""
+    dt = x.dtype
+    gates = x @ p["w_ih"].astype(dt) + h @ p["w_hh"].astype(dt) + p["b"].astype(dt)
     i, f, g, o = jnp.split(gates, 4, axis=-1)
     c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
     h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
@@ -52,14 +54,17 @@ def _cell(p: LSTMLayerParams, x: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray):
 
 def lstm_step(params: LSTMParams, x: jnp.ndarray, hidden: Hidden) -> Tuple[jnp.ndarray, Hidden]:
     """One time step through all layers. x: [B, in], hidden: ([L,B,H], [L,B,H]).
-    Returns (top-layer output [B, H], new hidden)."""
+    Returns (top-layer output [B, H], new hidden). Compute runs in x.dtype;
+    the returned hidden keeps the incoming hidden's dtype so scan carries
+    stay stable."""
     h, c = hidden
+    hdt = h.dtype
     hs, cs = [], []
     out = x
     for layer, p in enumerate(params):
-        h_new, c_new = _cell(p, out, h[layer], c[layer])
-        hs.append(h_new)
-        cs.append(c_new)
+        h_new, c_new = _cell(p, out, h[layer].astype(x.dtype), c[layer].astype(x.dtype))
+        hs.append(h_new.astype(hdt))
+        cs.append(c_new.astype(hdt))
         out = h_new
     return out, (jnp.stack(hs), jnp.stack(cs))
 

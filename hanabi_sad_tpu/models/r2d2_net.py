@@ -27,6 +27,20 @@ class NetConfig:
     hand_size: int = 5
     num_fc_layer: int = 1
     skip_connect: bool = False
+    # Compute dtype for the matmul-heavy path (trunk + LSTM). Params stay
+    # float32; bfloat16 compute feeds the MXU at 2x and halves HBM traffic.
+    # Heads and losses stay float32 for Q-value fidelity.
+    compute_dtype: str = "float32"
+
+    def __post_init__(self):
+        if self.compute_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"compute_dtype must be 'float32' or 'bfloat16', got {self.compute_dtype!r}"
+            )
+
+    @property
+    def cdtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
 
 
 class R2D2NetParams(NamedTuple):
@@ -65,9 +79,10 @@ def init_r2d2_net(key: jax.Array, cfg: NetConfig) -> R2D2NetParams:
     )
 
 
-def trunk(params: R2D2NetParams, x: jnp.ndarray) -> jnp.ndarray:
+def trunk(params: R2D2NetParams, x: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    x = x.astype(dtype)
     for layer in params.net:
-        x = jax.nn.relu(x @ layer["w"] + layer["b"])
+        x = jax.nn.relu(x @ layer["w"].astype(dtype) + layer["b"].astype(dtype))
     return x
 
 
@@ -88,11 +103,12 @@ def act(
 
     priv_s: [B, in_dim]; hid: {"h0","c0": [B, L, D]} batch-first.
     Returns (advantage [B, out_dim], new hid batch-first)."""
-    x = trunk(params, priv_s)
+    x = trunk(params, priv_s, cfg.cdtype)
     hidden = (hid["h0"].transpose(1, 0, 2), hid["c0"].transpose(1, 0, 2))
     o, (h, c) = lstm_mod.lstm_step(params.lstm, x, hidden)
     if cfg.skip_connect:
         o = o + x
+    o = o.astype(jnp.float32)
     a = o @ params.fc_a["w"] + params.fc_a["b"]
     return a, {"h0": h.transpose(1, 0, 2), "c0": c.transpose(1, 0, 2)}
 
@@ -118,7 +134,7 @@ def forward(
     hid None -> zeros (the learner's zero-h0 simplification, r2d2.py:395).
     Returns (qa [T,B], greedy_action [T,B], q [T,B,A], lstm_o [T,B,D])."""
     T, B = priv_s.shape[0], priv_s.shape[1]
-    x = trunk(params, priv_s)
+    x = trunk(params, priv_s, cfg.cdtype)
     if hid is None:
         hidden = lstm_mod.zero_hidden(cfg.num_lstm_layer, B, cfg.hid_dim, x.dtype)
     else:
@@ -126,6 +142,7 @@ def forward(
     o, _ = lstm_mod.lstm_seq(params.lstm, x, hidden)
     if cfg.skip_connect:
         o = o + x
+    o = o.astype(jnp.float32)
     a = o @ params.fc_a["w"] + params.fc_a["b"]
     v = o @ params.fc_v["w"] + params.fc_v["b"]
     q = duel(v, a, legal_move)

@@ -44,6 +44,7 @@ class TrainConfig:
     rnn_hid_dim: int = 512
     num_fc_layer: int = 1
     skip_connect: bool = False
+    compute_dtype: str = "float32"  # "bfloat16" feeds the MXU at 2x
 
     batchsize: int = 128
     num_epoch: int = 5000

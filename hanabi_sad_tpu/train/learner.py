@@ -95,6 +95,7 @@ def make_setup(cfg: TrainConfig) -> Setup:
         hand_size=cfg.hand_size,
         num_fc_layer=cfg.num_fc_layer,
         skip_connect=cfg.skip_connect,
+        compute_dtype=cfg.compute_dtype,
     )
     agent = AgentConfig(
         net=net,
