@@ -73,12 +73,21 @@ def restore_train_state(payload: Dict, state):
 
 
 def load_params_into(payload: Dict, params_template):
-    """Load a weights payload (params or train_state) onto a params pytree,
-    tolerating the reference loader's missing/extra-key behavior
-    (utils.py:278-299) by matching tree structure strictly but dtypes loosely."""
+    """Load a weights payload onto an AgentParams(online, target) template.
+
+    Accepts either a full AgentParams pair or a bare online-net pytree (what
+    TopkSaver payloads carry — the reference's .pthw equivalent saves only
+    the online net, selfplay.py:271-273); a bare net initializes both online
+    and target, matching load_weight + sync_target_with_online
+    (utils.py:278-299, selfplay.py:141)."""
     import jax.numpy as jnp
 
     saved = payload["params"]
-    return jax.tree_util.tree_map(
-        lambda t, s: jnp.asarray(s, dtype=t.dtype), params_template, saved
+    cast = lambda t, s: jax.tree_util.tree_map(
+        lambda a, b: jnp.asarray(b, dtype=a.dtype), t, s
     )
+    if hasattr(saved, "online") or (isinstance(saved, dict) and "online" in saved):
+        return cast(params_template, saved)
+    online = cast(params_template.online, saved)
+    target = jax.tree_util.tree_map(lambda x: x + 0, online)
+    return type(params_template)(online=online, target=target)

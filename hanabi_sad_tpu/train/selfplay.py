@@ -79,8 +79,15 @@ def _train_impl(cfg: TrainConfig, max_chunks: int) -> dict:
     if cfg.load_model:
         print("*****loading pretrained model*****")
         payload = ckpt.load(cfg.load_model)
-        params = ckpt.load_params_into(payload, state.params)
-        state = state._replace(params=params)
+        if payload.get("kind") == "train_state":
+            # Full resume: params + optimizer + counters + PRNG keys — the
+            # capability the reference lacks (weights-only .pthw resume,
+            # SURVEY.md §5). Replay refills through normal collection.
+            state = ckpt.restore_train_state(payload, state)
+            print(f"resumed at update {int(state.num_update)}")
+        else:
+            params = ckpt.load_params_into(payload, state.params)
+            state = state._replace(params=params)
         print("*****done*****")
 
     train_chunk = learner.make_train_chunk(setup)
