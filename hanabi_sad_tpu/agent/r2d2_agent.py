@@ -73,12 +73,19 @@ def act(
     obs: Dict[str, jnp.ndarray],
     hidden: Hidden,
     key: jax.Array,
+    *,
+    return_q: bool = False,
 ) -> Tuple[Dict[str, jnp.ndarray], Hidden]:
     """Batched epsilon-greedy act for all envs and players at once.
 
     obs: priv_s [N, P, F], legal_move [N, P, A], eps [N, P].
     Returns ({"a","greedy_a"} [N, P] i32, new hidden). The random arm samples
     uniformly over legal moves (legal_move.multinomial, r2d2.py:273-277).
+
+    return_q additionally computes the dueling Q of the chosen action
+    (reply["qa"]) so the rollout can hand the learner its online Q values for
+    free — the priority pass then only needs a target-net forward (the
+    reference recomputes both nets in compute_priority, r2d2.py:344-348).
     """
     N, P = obs["priv_s"].shape[:2]
     flat = lambda x: x.reshape((N * P,) + x.shape[2:])
@@ -90,7 +97,14 @@ def act(
         "h0": hidden.h.reshape(N * P, cfg.net.num_lstm_layer, cfg.net.hid_dim),
         "c0": hidden.c.reshape(N * P, cfg.net.num_lstm_layer, cfg.net.hid_dim),
     }
-    greedy, new_hid = r2d2_net.greedy_act(params.online, cfg.net, priv_s, legal, hid)
+    if return_q:
+        adv, v, new_hid = r2d2_net.act_with_v(params.online, cfg.net, priv_s, hid)
+    else:
+        adv, new_hid = r2d2_net.act(params.online, cfg.net, priv_s, hid)
+    # Greedy over legal entries of the advantage == greedy over the dueling Q
+    # (v and the masked advantage mean are per-row constants), r2d2.py:241-244.
+    legal_adv = (1 + adv - adv.min()) * legal
+    greedy = jnp.argmax(legal_adv, axis=-1)
 
     k_rand, k_eps = jax.random.split(key)
     logits = jnp.where(legal > 0, 0.0, -jnp.inf)
@@ -100,6 +114,10 @@ def act(
 
     unflat = lambda x: x.reshape(N, P)
     reply = {"a": unflat(action), "greedy_a": unflat(greedy.astype(jnp.int32))}
+    if return_q:
+        q = r2d2_net.duel(v, adv, legal)
+        qa = jnp.take_along_axis(q, action[:, None], axis=-1)[:, 0]
+        reply["qa"] = unflat(qa)
     new_hidden = Hidden(
         h=new_hid["h0"].reshape(N, P, cfg.net.num_lstm_layer, cfg.net.hid_dim),
         c=new_hid["c0"].reshape(N, P, cfg.net.num_lstm_layer, cfg.net.hid_dim),
@@ -232,6 +250,39 @@ def aggregate_priority(
     p_mean = p.sum(0) / seq_len
     p_max = p.max(0)
     return eta * p_max + (1.0 - eta) * p_mean
+
+
+def compute_priority_from_rollout(
+    params: AgentParams,
+    cfg: AgentConfig,
+    batch: Batch,
+    online_qa: jnp.ndarray,
+    greedy_a: jnp.ndarray,
+) -> jnp.ndarray:
+    """Initial priorities using the rollout's own online Q values — only the
+    target net runs a full-sequence forward here (half the cost of
+    compute_priority). online_qa: [T, B] already VDN-summed; greedy_a:
+    [T, B, Pi] the rollout's greedy actions (= the online full-seq greedy,
+    since rollout hiddens equal the zero-h0 sequence hiddens for aligned
+    episodes)."""
+    if cfg.uniform_priority:
+        return jnp.ones_like(batch.seq_len, dtype=jnp.float32)
+    T, B, Pi = batch.priv_s.shape[:3]
+    flat = lambda x: x.reshape((T, B * Pi) + x.shape[3:])
+    target_qa, _, _, _ = r2d2_net.forward(
+        params.target, cfg.net, flat(batch.priv_s), flat(batch.legal_move), flat(greedy_a)
+    )
+    if cfg.vdn:
+        target_qa = target_qa.reshape(T, B, Pi).sum(-1)
+    else:
+        target_qa = target_qa.reshape(T, B)
+    n = cfg.multi_step
+    target_qa = jnp.concatenate([target_qa[n:], target_qa[:n]], axis=0)
+    target_qa = target_qa.at[-n:].set(0.0)
+    target = batch.reward + batch.bootstrap * (cfg.gamma ** n) * target_qa
+    mask = (jnp.arange(T)[:, None] < batch.seq_len[None, :]).astype(target.dtype)
+    err = (target - online_qa) * mask
+    return aggregate_priority(jnp.abs(err), batch.seq_len, cfg.eta)
 
 
 def compute_priority(

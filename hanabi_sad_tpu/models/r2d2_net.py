@@ -117,6 +117,25 @@ def act(
     return a, {"h0": h.transpose(1, 0, 2), "c0": c.transpose(1, 0, 2)}
 
 
+def act_with_v(
+    params: R2D2NetParams,
+    cfg: NetConfig,
+    priv_s: jnp.ndarray,
+    hid: Dict[str, jnp.ndarray],
+) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """act() that also returns the state value (one extra [B,D]@[D,1]) so the
+    caller can form the dueling Q without a second LSTM pass."""
+    x = trunk(params, priv_s, cfg.cdtype)
+    hidden = (hid["h0"].transpose(1, 0, 2), hid["c0"].transpose(1, 0, 2))
+    o, (h, c) = lstm_mod.lstm_step(params.lstm, x, hidden)
+    if cfg.skip_connect:
+        o = o + x
+    o = o.astype(jnp.float32)
+    a = o @ params.fc_a["w"] + params.fc_a["b"]
+    v = o @ params.fc_v["w"] + params.fc_v["b"]
+    return a, v, {"h0": h.transpose(1, 0, 2), "c0": c.transpose(1, 0, 2)}
+
+
 def duel(v: jnp.ndarray, a: jnp.ndarray, legal_move: jnp.ndarray) -> jnp.ndarray:
     """Dueling combine with legal-masked advantage mean over *all* actions
     (r2d2.py:124-131 — the mean divides by num_actions, not num legal)."""

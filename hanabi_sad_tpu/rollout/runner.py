@@ -41,6 +41,8 @@ class RolloutOutput(NamedTuple):
     legal_move: jnp.ndarray  # [T, N, P, A]
     own_hand: jnp.ndarray  # [T, N, P, 3*hand]
     action: jnp.ndarray  # [T, N, P]
+    greedy_a: jnp.ndarray  # [T, N, P]
+    qa: jnp.ndarray  # [T, N, P] online dueling Q of the taken action
     reward: jnp.ndarray  # [T, N] raw per-step reward
     done: jnp.ndarray  # [T, N] done *after* this step
     last_score: jnp.ndarray  # [N] final episode scores
@@ -66,14 +68,19 @@ def run_episode_chunk(
 
     def body(carry, step_key):
         env_state, obs, hidden = carry
-        reply, new_hidden = r2d2_agent.act(params, agent_cfg, obs, hidden, step_key)
+        reply, new_hidden = r2d2_agent.act(
+            params, agent_cfg, obs, hidden, step_key, return_q=True
+        )
         new_env_state, new_obs, reward, done = jax.vmap(
             lambda s, a: env_mod.step(env_cfg, s, a)
         )(env_state, reply)
-        rec = (obs["priv_s"], obs["legal_move"], obs["own_hand"], reply["a"], reward, done)
+        rec = (
+            obs["priv_s"], obs["legal_move"], obs["own_hand"],
+            reply["a"], reply["greedy_a"], reply["qa"], reward, done,
+        )
         return (new_env_state, new_obs, new_hidden), rec
 
-    (env_state, _, _), (priv_s, legal, own_hand, action, reward, done) = jax.lax.scan(
+    (env_state, _, _), (priv_s, legal, own_hand, action, greedy_a, qa, reward, done) = jax.lax.scan(
         body, (env_state, obs, hidden), jax.random.split(act_key, num_steps)
     )
     return RolloutOutput(
@@ -81,6 +88,8 @@ def run_episode_chunk(
         legal_move=legal,
         own_hand=own_hand,
         action=action,
+        greedy_a=greedy_a,
+        qa=qa,
         reward=reward,
         done=done,
         last_score=env_state.last_score,
@@ -170,6 +179,20 @@ def chunk_to_episodes(
         bootstrap=rep(bootstrap),
         seq_len=jnp.repeat(seq_len, P),
     )
+
+
+def rollout_priority_inputs(out: RolloutOutput, agent_cfg: AgentConfig):
+    """(online_qa [T, M], greedy_a [T, M, Pi]) aligned with chunk_to_episodes'
+    item order, for compute_priority_from_rollout. Padding steps zero."""
+    T, N, P = out.action.shape
+    _, _, seq_len = _n_step_process(out.reward, out.done, agent_cfg.multi_step, agent_cfg.gamma)
+    valid = (jnp.arange(T, dtype=jnp.float32)[:, None] < seq_len[None, :])  # [T, N]
+    qa = out.qa * valid[..., None]
+    greedy = out.greedy_a
+    if agent_cfg.vdn:
+        return qa.sum(-1), greedy  # [T, N], [T, N, P]
+    # IQL: items are (env, player) pairs, env-major (matches split_players)
+    return qa.reshape(T, N * P), greedy.reshape(T, N * P, 1)
 
 
 def episodes_to_batch(ep: EpisodeBatch) -> Batch:

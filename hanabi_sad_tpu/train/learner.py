@@ -161,7 +161,10 @@ def collect_chunk(
     )
     episodes = runner.chunk_to_episodes(out, setup.agent)
     batch = runner.episodes_to_batch(episodes)
-    priority = r2d2_agent.compute_priority(params, setup.agent, batch)
+    online_qa, greedy_a = runner.rollout_priority_inputs(out, setup.agent)
+    priority = r2d2_agent.compute_priority_from_rollout(
+        params, setup.agent, batch, online_qa, greedy_a
+    )
     stats = {
         "chunk_score": out.last_score.astype(jnp.float32).mean(),
         "chunk_len": episodes.seq_len.mean(),

@@ -163,3 +163,32 @@ class TestEval:
         s1, _ = f(params_per_player=[params, params], keys=keys)
         s2, _ = f(params_per_player=[params, params], keys=keys)
         np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+
+
+class TestFastPriority:
+    def test_matches_full_recompute(self):
+        """compute_priority_from_rollout (rollout qa + one target forward)
+        must equal compute_priority (two full-sequence forwards) exactly in
+        f32 — they are the same math on identical hidden states."""
+        for vdn in [True, False]:
+            env_cfg, agent_cfg, params = small_setup(vdn)
+            keys = jax.random.split(jax.random.PRNGKey(4), 6)
+            out = jax.jit(
+                functools.partial(
+                    runner.run_episode_chunk,
+                    agent_cfg=agent_cfg,
+                    env_cfg=env_cfg,
+                    num_steps=20,
+                )
+            )(params, keys=keys, act_key=jax.random.PRNGKey(5))
+            ep = runner.chunk_to_episodes(out, agent_cfg)
+            batch = runner.episodes_to_batch(ep)
+            slow = r2d2_agent.compute_priority(params, agent_cfg, batch)
+            online_qa, greedy_a = runner.rollout_priority_inputs(out, agent_cfg)
+            fast = r2d2_agent.compute_priority_from_rollout(
+                params, agent_cfg, batch, online_qa, greedy_a
+            )
+            np.testing.assert_allclose(
+                np.asarray(fast), np.asarray(slow), rtol=1e-5, atol=1e-5,
+                err_msg=f"vdn={vdn}",
+            )
