@@ -54,22 +54,29 @@ def pick_block_b(B: int, cap: int = 256) -> int:
 def _kernel(x_hbm, h0, c0, w_ih, w_hh, b, out_hbm, hT, cT, x_buf, o_buf, h, c, sems):
     """One batch tile, all T steps.
 
-    x_hbm: [T, TB, H] (ANY/HBM)    h0/c0: [L, TB, H] (VMEM)
-    w_ih/w_hh: [L, H, 4H] (VMEM)   b: [L, 4H] (VMEM)
-    out_hbm: [T, TB, H] (ANY/HBM)  hT/cT: [L, TB, H] (VMEM out)
+    x_hbm: [T, B, H] full array (ANY/HBM; Mosaic requires trivial index maps
+    for ANY-space operands, so the batch tile is sliced inside the DMA)
+    h0/c0: [L, TB, H] (VMEM)       w_ih/w_hh: [L, H, 4H] (VMEM)  b: [L, 4H]
+    out_hbm: [T, B, H] (ANY/HBM)   hT/cT: [L, TB, H] (VMEM out)
     scratch: x_buf/o_buf [2, TB, H] VMEM, h/c [L, TB, H] VMEM, sems DMA[4]
     """
     T = x_hbm.shape[0]
     L = h0.shape[0]
+    tb = h0.shape[1]
+    b0 = pl.multiple_of(pl.program_id(0) * tb, tb)
 
     h[...] = h0[...]
     c[...] = c0[...]
 
     def in_dma(slot, t):
-        return pltpu.make_async_copy(x_hbm.at[t], x_buf.at[slot], sems.at[slot])
+        return pltpu.make_async_copy(
+            x_hbm.at[t, pl.ds(b0, tb)], x_buf.at[slot], sems.at[slot]
+        )
 
     def out_dma(slot, t):
-        return pltpu.make_async_copy(o_buf.at[slot], out_hbm.at[t], sems.at[2 + slot])
+        return pltpu.make_async_copy(
+            o_buf.at[slot], out_hbm.at[t, pl.ds(b0, tb)], sems.at[2 + slot]
+        )
 
     in_dma(0, 0).start()
 
@@ -152,7 +159,7 @@ def lstm_seq_pallas(
         _kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((T, tb, H), lambda i: (0, i, 0), memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),  # full xs; tile sliced in-kernel
             pl.BlockSpec((L, tb, H), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((L, tb, H), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((L, H, 4 * H), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
@@ -160,7 +167,7 @@ def lstm_seq_pallas(
             pl.BlockSpec((L, 4 * H), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((T, tb, H), lambda i: (0, i, 0), memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),  # full out; tile sliced in-kernel
             pl.BlockSpec((L, tb, H), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((L, tb, H), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
         ],

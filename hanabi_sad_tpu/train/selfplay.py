@@ -76,6 +76,17 @@ def _train_impl(cfg: TrainConfig, max_chunks: int) -> dict:
     )
 
     state = learner.init_train_state(setup, jax.random.PRNGKey(cfg.seed))
+
+    # Multi-chip: shard envs/replay over a data mesh, replicate params; XLA
+    # inserts the gradient all-reduce over ICI. Single-device runs skip this.
+    mesh = None
+    if jax.device_count() > 1 and cfg.num_envs % jax.device_count() == 0:
+        from hanabi_sad_tpu.parallel import make_mesh, shard_train_state
+
+        mesh = make_mesh()
+        state = shard_train_state(state, mesh)
+        print(f"sharding over {jax.device_count()} devices (data axis)")
+
     if cfg.load_model:
         print("*****loading pretrained model*****")
         payload = ckpt.load(cfg.load_model)
@@ -90,6 +101,14 @@ def _train_impl(cfg: TrainConfig, max_chunks: int) -> dict:
             state = state._replace(params=params)
         print("*****done*****")
 
+    import contextlib
+
+    mesh_scope = mesh if mesh is not None else contextlib.nullcontext()
+    with mesh_scope:
+        return _train_loop(cfg, setup, state, saver, max_chunks)
+
+
+def _train_loop(cfg, setup, state, saver, max_chunks) -> dict:
     train_chunk = learner.make_train_chunk(setup)
     collect_only = learner.make_collect_only(setup)
     evaluator = learner.make_evaluator(setup, cfg.num_eval_game)
