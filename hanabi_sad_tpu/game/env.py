@@ -201,6 +201,33 @@ def step(cfg: EnvConfig, state: EnvState, action: Dict[str, jnp.ndarray]):
     return new_state, observe(cfg, new_state), reward, done
 
 
+def step_autoreset(cfg: EnvConfig, state: EnvState, action: Dict[str, jnp.ndarray]):
+    """step() with immediate auto-reset: if the step ends the episode, the
+    returned state/obs are a freshly reset env (new deck, eps, perms) — the
+    VectorEnv::reset splice semantics (rela/env.h:48-60) without idle frames.
+
+    Returns (state, obs, reward, done, score) where `done` flags that THIS
+    step ended an episode (the returned state is already the next episode)
+    and `score` is the finished episode's final score (valid when done)."""
+    stepped, obs, reward, done = step(cfg, state, action)
+    k_reset, k_next = jax.random.split(state.key)
+    fresh, fresh_obs = reset(cfg, k_reset)
+    fresh = fresh._replace(key=k_next)
+
+    # where(done, fresh, stepped) with correct broadcasting over leaves
+    new_state = jax.tree_util.tree_map(
+        lambda f, s: jnp.where(_bcast(done, f), f, s), fresh, stepped
+    )
+    new_obs = jax.tree_util.tree_map(
+        lambda f, s: jnp.where(_bcast(done, f), f, s), fresh_obs, obs
+    )
+    return new_state, new_obs, reward, done, stepped.last_score
+
+
+def _bcast(flag: jnp.ndarray, like: jnp.ndarray) -> jnp.ndarray:
+    return jnp.reshape(flag, flag.shape + (1,) * (like.ndim - flag.ndim))
+
+
 class HanabiEnv:
     """Thin batched facade: vmapped reset/step over N independent games."""
 

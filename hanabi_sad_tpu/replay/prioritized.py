@@ -98,20 +98,52 @@ class EpisodeBatch(NamedTuple):
 
 def add(state: ReplayState, cfg: ReplayConfig, ep: EpisodeBatch, priority: jnp.ndarray) -> ReplayState:
     """Ring-scatter M episodes with priority^alpha weights."""
-    M = ep.seq_len.shape[0]
-    idx = (state.write_ptr + jnp.arange(M, dtype=jnp.int32)) % cfg.capacity
     bits = jnp.concatenate([ep.priv_s, ep.legal_move, ep.own_hand], axis=-1)
-    packed = pack_bits(bits)
+    return add_packed(
+        state, cfg, pack_bits(bits), ep.action, ep.reward, ep.bootstrap, ep.seq_len,
+        priority,
+    )
+
+
+def add_packed(
+    state: ReplayState,
+    cfg: ReplayConfig,
+    packed: jnp.ndarray,  # [M, T, Pi, bytes] uint8 (priv|legal|own_hand bits)
+    action: jnp.ndarray,
+    reward: jnp.ndarray,
+    bootstrap: jnp.ndarray,
+    seq_len: jnp.ndarray,
+    priority: jnp.ndarray,
+    valid: Optional[jnp.ndarray] = None,
+) -> ReplayState:
+    """add() for already-bitpacked episodes (the continuous rollout keeps its
+    stream packed end to end). `valid` masks empty slots: valid items compact
+    onto consecutive ring positions; all invalid items scatter onto the single
+    position just past the last valid write, where they collide only with
+    each other, carry weight 0 (never sampled), and get overwritten by the
+    next call's first valid item. `valid=None` means all M are real."""
+    M = seq_len.shape[0]
+    if valid is None:
+        idx = (state.write_ptr + jnp.arange(M, dtype=jnp.int32)) % cfg.capacity
+        advance = jnp.asarray(M, jnp.int32)
+        w = jnp.power(priority, cfg.alpha)
+    else:
+        valid = valid.astype(bool)
+        offsets = jnp.cumsum(valid.astype(jnp.int32)) - valid.astype(jnp.int32)
+        advance = valid.sum().astype(jnp.int32)
+        scratch = (state.write_ptr + advance) % cfg.capacity
+        idx = jnp.where(valid, (state.write_ptr + offsets) % cfg.capacity, scratch)
+        w = jnp.where(valid, jnp.power(priority, cfg.alpha), 0.0)
     return ReplayState(
         packed=state.packed.at[idx].set(packed),
-        action=state.action.at[idx].set(ep.action.astype(jnp.int32)),
-        reward=state.reward.at[idx].set(ep.reward.astype(jnp.float32)),
-        bootstrap=state.bootstrap.at[idx].set(ep.bootstrap.astype(jnp.float32)),
-        seq_len=state.seq_len.at[idx].set(ep.seq_len.astype(jnp.float32)),
-        weight=state.weight.at[idx].set(jnp.power(priority, cfg.alpha)),
-        write_ptr=(state.write_ptr + M) % cfg.capacity,
-        size=jnp.minimum(state.size + M, cfg.capacity),
-        num_add=state.num_add + M,
+        action=state.action.at[idx].set(action.astype(jnp.int32)),
+        reward=state.reward.at[idx].set(reward.astype(jnp.float32)),
+        bootstrap=state.bootstrap.at[idx].set(bootstrap.astype(jnp.float32)),
+        seq_len=state.seq_len.at[idx].set(jnp.maximum(seq_len.astype(jnp.float32), 1.0)),
+        weight=state.weight.at[idx].set(w),
+        write_ptr=(state.write_ptr + advance) % cfg.capacity,
+        size=jnp.minimum(state.size + advance, cfg.capacity),
+        num_add=state.num_add + advance,
     )
 
 

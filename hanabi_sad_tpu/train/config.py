@@ -67,12 +67,18 @@ class TrainConfig:
     # --- TPU-native execution knobs (replace thread/device flags) ---
     num_envs: int = 1024  # parallel games per rollout chunk
     num_update_per_chunk: int = 16  # gradient steps between chunks
+    # "aligned": reset all envs per chunk, episodes align to chunk starts.
+    # "continuous": envs auto-reset mid-chunk (reference VecEnv semantics) —
+    # every step is a live frame; episodes are re-assembled from the stream.
+    rollout_mode: str = "aligned"
+    slots_per_env: int = 4  # continuous mode: completed-episode slots/env/chunk
     num_eval_game: int = 1000
     eval_max_steps: int = 128  # > longest possible game; eval has no forced cap
     eval_freq_epochs: int = 1
 
     def __post_init__(self):
         assert self.method in ("vdn", "iql")
+        assert self.rollout_mode in ("aligned", "continuous")
 
     @property
     def vdn(self) -> bool:

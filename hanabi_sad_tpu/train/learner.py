@@ -35,7 +35,7 @@ from hanabi_sad_tpu.game.env import EnvConfig
 from hanabi_sad_tpu.models.r2d2_net import NetConfig
 from hanabi_sad_tpu.replay import prioritized as replay_mod
 from hanabi_sad_tpu.replay.prioritized import ReplayConfig, ReplayState
-from hanabi_sad_tpu.rollout import runner
+from hanabi_sad_tpu.rollout import continuous, runner
 from hanabi_sad_tpu.train.config import TrainConfig, generate_explore_eps
 
 
@@ -46,6 +46,10 @@ class TrainState(NamedTuple):
     num_update: jnp.ndarray  # i32 global gradient-step counter
     env_key: jax.Array
     sample_key: jax.Array
+    # Persistent actor state for rollout_mode="continuous"; None in aligned
+    # mode (a None leaf is static pytree structure, so the two modes simply
+    # compile different programs).
+    actor: object = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -133,9 +137,13 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
 
 
 def init_train_state(setup: Setup, key: jax.Array) -> TrainState:
-    k_net, k_env, k_sample = jax.random.split(key, 3)
+    k_net, k_env, k_sample, k_actor = jax.random.split(key, 4)
     params = r2d2_agent.init_agent(k_net, setup.agent)
     opt_state = make_optimizer(setup.train).init(params.online)
+    actor = None
+    if setup.train.rollout_mode == "continuous":
+        keys = jax.random.split(k_actor, setup.train.num_envs)
+        actor = continuous.init_actor_state(setup.agent, setup.env, setup.replay, keys)
     return TrainState(
         params=params,
         opt_state=opt_state,
@@ -143,6 +151,7 @@ def init_train_state(setup: Setup, key: jax.Array) -> TrainState:
         num_update=jnp.asarray(0, jnp.int32),
         env_key=k_env,
         sample_key=k_sample,
+        actor=actor,
     )
 
 
@@ -212,12 +221,11 @@ def sgd_update(
     agg = r2d2_agent.aggregate_priority(priority, batch.seq_len, cfg.eta)
     replay = replay_mod.update_priority(state.replay, setup.replay, idx, agg)
 
-    new_state = TrainState(
+    new_state = state._replace(
         params=AgentParams(online=online, target=params.target),
         opt_state=opt_state,
         replay=replay,
         num_update=state.num_update + 1,
-        env_key=state.env_key,
         sample_key=sample_key,
     )
     metrics = {"loss": loss_val, "grad_norm": grad_norm}
@@ -225,15 +233,49 @@ def sgd_update(
     return new_state, metrics
 
 
-def _train_chunk_impl(
-    setup: Setup, optimizer: optax.GradientTransformation, state: TrainState
-) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+def collect_into_replay(setup: Setup, state: TrainState):
+    """One collection pass in the configured rollout mode; returns the state
+    with fresh episodes in the replay, plus chunk stats."""
     cfg = setup.train
+    if cfg.rollout_mode == "continuous":
+        env_key, k_act = jax.random.split(state.env_key)
+        actor, stream = continuous.run_continuous_chunk(
+            state.params, setup.agent, setup.env, state.actor, k_act, cfg.max_len
+        )
+        actor, episodes = continuous.assemble_episodes(
+            actor, stream, cfg.slots_per_env
+        )
+        if not cfg.vdn:
+            episodes = continuous.split_players(episodes)
+        n_step_r, bootstrap, priority = continuous.episode_priorities(
+            episodes, setup.agent
+        )
+        replay = replay_mod.add_packed(
+            state.replay, setup.replay, episodes.packed, episodes.action,
+            n_step_r, bootstrap, episodes.seq_len, priority, valid=episodes.valid,
+        )
+        frames = jnp.where(episodes.valid, episodes.seq_len, 0.0).sum()
+        n_completed = jnp.maximum(episodes.num_completed.astype(jnp.float32), 1.0)
+        chunk_stats = {
+            "chunk_score": episodes.score_sum / n_completed,
+            "chunk_len": frames / jnp.maximum(episodes.valid.sum(), 1),
+            "chunk_frames": frames,
+            "dropped_episodes": episodes.dropped.astype(jnp.float32),
+        }
+        return state._replace(replay=replay, env_key=env_key, actor=actor), chunk_stats
+
     episodes, priority, chunk_stats, env_key = collect_chunk(
         setup, state.params, state.env_key
     )
     replay = replay_mod.add(state.replay, setup.replay, episodes, priority)
-    state = state._replace(replay=replay, env_key=env_key)
+    return state._replace(replay=replay, env_key=env_key), chunk_stats
+
+
+def _train_chunk_impl(
+    setup: Setup, optimizer: optax.GradientTransformation, state: TrainState
+) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    cfg = setup.train
+    state, chunk_stats = collect_into_replay(setup, state)
 
     def body(s, _):
         return sgd_update(setup, optimizer, s)
@@ -257,11 +299,7 @@ def make_collect_only(setup: Setup):
     (the burn-in loop, selfplay.py:180-182)."""
 
     def impl(state: TrainState) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
-        episodes, priority, stats, env_key = collect_chunk(
-            setup, state.params, state.env_key
-        )
-        replay = replay_mod.add(state.replay, setup.replay, episodes, priority)
-        return state._replace(replay=replay, env_key=env_key), stats
+        return collect_into_replay(setup, state)
 
     return jax.jit(impl, donate_argnums=(0,))
 
