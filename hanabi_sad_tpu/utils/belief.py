@@ -48,6 +48,38 @@ def check_v1(v0, v1, card_counts, atol: float = 1e-4) -> bool:
     return bool(jnp.max(jnp.abs(ref - v1)) <= atol)
 
 
+def v0_from_state(cfg, state, player: jnp.ndarray) -> jnp.ndarray:
+    """Public V0 belief for a player's own hand: per slot, the hint-consistent
+    plausibility mask weighted by publicly-remaining card counts (full deck
+    minus discards, fireworks piles, and other players' visible hands) —
+    the standard Hanabi V0 (OBL lineage; the encoder's knowledge section is
+    its unweighted mask). Returns [hand_size, num_cards], unnormalized."""
+    from hanabi_sad_tpu.game.state import card_counts
+
+    R = cfg.num_ranks
+    counts = card_counts(cfg).astype(jnp.float32)  # [25]
+    # discards
+    counts = counts - state.discards.reshape(-1).astype(jnp.float32)
+    # fireworks piles: color c has cards rank 0..h-1 played
+    ranks = jnp.arange(R)[None, :]  # [1, R]
+    played = (ranks < state.fireworks[:, None]).astype(jnp.float32).reshape(-1)
+    counts = counts - played
+    # other players' visible hands
+    P = cfg.players
+    others = jnp.arange(P) != player
+    hands = state.hands  # [P, H]
+    onehot = (hands[..., None] == jnp.arange(cfg.num_cards)) & (hands[..., None] >= 0)
+    visible = (onehot & others[:, None, None]).sum((0, 1)).astype(jnp.float32)
+    counts = jnp.maximum(counts - visible, 0.0)
+
+    plaus = (
+        state.color_plausible[player][:, :, None]
+        & state.rank_plausible[player][:, None, :]
+    ).reshape(cfg.hand_size, -1)
+    occupied = (state.hands[player] >= 0)[:, None]
+    return plaus.astype(jnp.float32) * counts[None, :] * occupied
+
+
 def check_trajectory(priv_s: jnp.ndarray, terminal: jnp.ndarray) -> int:
     """Padding validation (utils.py:446-461): terminals form a suffix; returns
     the episode end index. priv_s [T, ...], terminal [T]."""

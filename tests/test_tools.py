@@ -217,3 +217,19 @@ class TestConvert:
         hid = {"h0": jnp.zeros((B, 2, 16)), "c0": jnp.zeros((B, 2, 16))}
         a_jax, _ = r2d2_net.act(params.online, net_cfg, jnp.asarray(s), hid)
         np.testing.assert_allclose(out["a"].numpy(), np.asarray(a_jax), atol=1e-5)
+
+
+class TestCrossplayMatrix:
+    def test_matrix_tool(self, tmp_path):
+        from hanabi_sad_tpu.tools import crossplay_matrix
+
+        p1 = str(tmp_path / "a.pkl")
+        p2 = str(tmp_path / "b.pkl")
+        save_tiny_checkpoint(p1)
+        save_tiny_checkpoint(p2)
+        scores, perfect = crossplay_matrix.main(
+            ["--weights", p1, p2, "--num_game", "6", "--out", str(tmp_path / "xp.txt")]
+        )
+        assert scores.shape == (2, 2)
+        assert (scores >= 0).all() and (scores <= 25).all()
+        assert os.path.exists(tmp_path / "xp.txt")

@@ -117,3 +117,29 @@ class TestLearnerUnits:
         # IQL: 16 envs * 2 players = 32 items per chunk
         assert setup.items_per_chunk == 32
         assert setup.players_per_item == 1
+
+
+class TestMultiplayer:
+    def test_3p_vdn(self, tmp_path):
+        cfg = tiny_cfg(
+            tmp_path, method="vdn", num_player=3, sad=True, shuffle_color=False,
+            batchsize=9, num_envs=12,
+        )
+        out = train(cfg, max_chunks=2)
+        assert out["num_update"] > 0
+
+    def test_5p_iql_hand4(self, tmp_path):
+        cfg = tiny_cfg(
+            tmp_path, method="iql", num_player=5, hand_size=4, sad=False,
+            shuffle_color=False, num_envs=8,
+        )
+        out = train(cfg, max_chunks=2)
+        assert out["num_update"] > 0
+
+    def test_continuous_multiplayer(self, tmp_path):
+        cfg = tiny_cfg(
+            tmp_path, method="vdn", num_player=3, rollout_mode="continuous",
+            num_envs=8, batchsize=6,
+        )
+        out = train(cfg, max_chunks=2)
+        assert out["num_update"] > 0

@@ -76,3 +76,42 @@ class TestBelief:
         assert belief.check_trajectory(jnp.zeros((6, 4)), term) == 3
         with pytest.raises(AssertionError):
             belief.check_trajectory(jnp.zeros((3, 2)), jnp.asarray([1.0, 0.0, 1.0]))
+
+
+class TestV0FromState:
+    def test_counts_and_masks(self):
+        import jax
+        from hanabi_sad_tpu.game import GameConfig
+        from hanabi_sad_tpu.game.state import new_game
+
+        cfg = GameConfig(players=2)
+        state = new_game(cfg, jax.random.PRNGKey(0))
+        v0 = np.asarray(belief.v0_from_state(cfg, state, jnp.asarray(0)))
+        assert v0.shape == (5, 25)
+        # fresh game, no hints: plausibility = remaining counts; partner's 5
+        # cards are deducted from the 50-card multiset
+        assert v0.sum() == 5 * (50 - 5)
+        # no card type exceeds its deck count
+        assert (v0 <= 3).all() and (v0 >= 0).all()
+
+    def test_hint_collapses(self):
+        import jax
+        from hanabi_sad_tpu.game import GameConfig
+        from hanabi_sad_tpu.game.engine import apply_move
+        from hanabi_sad_tpu.game.moves import Move
+        from hanabi_sad_tpu.game.state import REVEAL_COLOR, new_game
+
+        cfg = GameConfig(players=2)
+        state = new_game(cfg, jax.random.PRNGKey(3))
+        color = int(state.hands[1, 0]) // 5
+        mv = Move(
+            move_type=jnp.asarray(REVEAL_COLOR), position=jnp.asarray(0),
+            target_offset=jnp.asarray(1), color=jnp.asarray(color), rank=jnp.asarray(0),
+        )
+        nxt = apply_move(cfg, state, mv)
+        v0 = np.asarray(belief.v0_from_state(cfg, nxt, jnp.asarray(1)))
+        v0_slot0 = v0[0].reshape(5, 5)
+        # slot 0 was touched by the color hint: only that color plausible
+        assert v0_slot0[color].sum() > 0
+        mask = np.ones(5, bool); mask[color] = False
+        assert v0_slot0[mask].sum() == 0
