@@ -22,7 +22,9 @@ def main():
     cfg = EnvConfig(
         game=GameConfig(players=2), eps_list=(0.1,), max_len=80, sad=True
     )
-    N = 8192
+    # 32768 envs is the measured throughput sweet spot on one v5e chip
+    # (BENCHMARKS.md: 4k 4.45M / 8k 5.60M / 32k 6.73M / 64k 6.50M steps/s).
+    N = 32768
     T = 80
 
     def pick(key, legal):

@@ -60,14 +60,25 @@ def _thermometer(value: jnp.ndarray, length: int) -> jnp.ndarray:
 
 
 def encode_hands(
-    cfg: GameConfig, state: GameState, observer: jnp.ndarray, perm: jnp.ndarray
+    cfg: GameConfig,
+    state: GameState,
+    observer: jnp.ndarray,
+    perm: jnp.ndarray,
+    hand_shuffle: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Hands section. Players in relative order starting at the observer; the
     observer's own card block is zeroed (hidden hand). Trailing P bits flag
-    hands holding fewer than hand_size cards."""
+    hands holding fewer than hand_size cards.
+
+    hand_shuffle ([H] i32, shuffle_obs mode, 2p only): displayed slot j of the
+    partner's hand (relative player 1) shows true slot hand_shuffle[j]
+    (cpp/hanabi_env.cc:134-143 samples this per encode)."""
     P, H = cfg.players, cfg.hand_size
     rel = (observer + jnp.arange(P, dtype=jnp.int32)) % P  # absolute seat per rel slot
     hands = state.hands[rel]  # [P, H]
+    if hand_shuffle is not None:
+        shuffled = hands[1][hand_shuffle]
+        hands = hands.at[1].set(shuffled)
     onehots = _card_onehot(cfg, hands, perm)  # [P, H, 25]
     own = jnp.arange(P) == 0  # rel slot 0 is the observer
     onehots = jnp.where(own[:, None, None], 0.0, onehots)
@@ -112,8 +123,15 @@ def encode_last_action(
     last: LastAction,
     observer: jnp.ndarray,
     perm: jnp.ndarray,
+    hand_shuffle: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Last (non-deal) action section; zeros if no move has been made yet."""
+    """Last (non-deal) action section; zeros if no move has been made yet.
+
+    hand_shuffle (shuffle_obs mode): partner-slot-indexed bits are remapped to
+    the shuffled view — the play/discard position when the partner acted, and
+    the reveal mask when the partner was the hint target (the reference
+    threads the same shuffleOrder into EncodeLastAction,
+    cpp/hanabi_env.cc:157-158)."""
     P, H, C, R = cfg.players, cfg.hand_size, cfg.num_colors, cfg.num_ranks
     valid = last.move_type < 4  # NONE / NO_OP encode as zeros
 
@@ -139,9 +157,16 @@ def encode_last_action(
     rank_bits = (jnp.arange(R) == last.rank).astype(F32)
 
     reveal_bits = (last.reveal_mask & is_reveal).astype(F32)
+    if hand_shuffle is not None:
+        # Displayed reveal slot j reflects true slot hand_shuffle[j] when the
+        # hint target is the partner (relative player 1).
+        reveal_bits = jnp.where(rel_target == 1, reveal_bits[hand_shuffle], reveal_bits)
 
     is_pd = (last.move_type == PLAY) | (last.move_type == DISCARD)
     pos_bits = ((jnp.arange(H) == last.position) & is_pd).astype(F32)
+    if hand_shuffle is not None:
+        shuffled_pos = ((hand_shuffle == last.position) & is_pd).astype(F32)
+        pos_bits = jnp.where(rel_actor == 1, shuffled_pos, pos_bits)
 
     card_bits = _card_onehot(cfg, jnp.where(is_pd, last.card, -1), perm)
 
@@ -165,11 +190,18 @@ def encode_last_action(
 
 
 def encode_knowledge(
-    cfg: GameConfig, state: GameState, observer: jnp.ndarray, perm: jnp.ndarray
+    cfg: GameConfig,
+    state: GameState,
+    observer: jnp.ndarray,
+    perm: jnp.ndarray,
+    hand_shuffle: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Card-knowledge section: per relative player, per slot — 25 plausible
     bits (outer product of hint-derived color/rank plausibility), 5 direct
-    color-hint bits, 5 direct rank-hint bits. Empty slots are all zero."""
+    color-hint bits, 5 direct rank-hint bits. Empty slots are all zero.
+
+    hand_shuffle (shuffle_obs mode): the partner's knowledge slots follow the
+    same displayed order as the hands section."""
     P = cfg.players
     rel = (observer + jnp.arange(P, dtype=jnp.int32)) % P
     occupied = (state.hands[rel] >= 0)[..., None]  # [P, H, 1]
@@ -179,6 +211,12 @@ def encode_knowledge(
     rp = state.rank_plausible[rel]  # [P, H, R]
     ch = state.color_hinted[rel][..., inv]
     rh = state.rank_hinted[rel]
+    if hand_shuffle is not None:
+        cp = cp.at[1].set(cp[1][hand_shuffle])
+        rp = rp.at[1].set(rp[1][hand_shuffle])
+        ch = ch.at[1].set(ch[1][hand_shuffle])
+        rh = rh.at[1].set(rh[1][hand_shuffle])
+        occupied = occupied.at[1].set(occupied[1][hand_shuffle])
 
     plausible = (cp[..., :, None] & rp[..., None, :]).astype(F32)  # [P, H, C, R]
     plausible = plausible * occupied[..., None]
@@ -198,15 +236,16 @@ def encode_observation(
     state: GameState,
     observer: jnp.ndarray,
     perm: jnp.ndarray,
+    hand_shuffle: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Full per-player canonical observation (783 for 2p), before SAD."""
     return jnp.concatenate(
         [
-            encode_hands(cfg, state, observer, perm),
+            encode_hands(cfg, state, observer, perm, hand_shuffle),
             encode_board(cfg, state, perm),
             encode_discards(cfg, state, perm),
-            encode_last_action(cfg, state.last, observer, perm),
-            encode_knowledge(cfg, state, observer, perm),
+            encode_last_action(cfg, state.last, observer, perm, hand_shuffle),
+            encode_knowledge(cfg, state, observer, perm, hand_shuffle),
         ]
     )
 
@@ -234,6 +273,7 @@ def greedy_action_channel(
     greedy_move: Move,
     observer: jnp.ndarray,
     perm: jnp.ndarray,
+    hand_shuffle: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """The SAD channel: last-action encoding of the partner's *greedy* move as
     if it were applied to the pre-move state. The reference clones the state
@@ -243,4 +283,4 @@ def greedy_action_channel(
     from hanabi_sad_tpu.game.engine import move_outcome
 
     record = move_outcome(cfg, state, greedy_move)
-    return encode_last_action(cfg, record, observer, perm)
+    return encode_last_action(cfg, record, observer, perm, hand_shuffle)

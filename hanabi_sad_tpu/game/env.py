@@ -20,10 +20,16 @@ Semantics matched to the reference:
   * with max_len > 0, the episode is force-terminated after max_len steps and
     the reward forfeits all points (cpp/hanabi_env.cc:97-101).
 
-`shuffle_obs` (a 2-player partner-hand order shuffle) is rejected at
-construction: the reference trainer itself asserts it off
-(selfplay.py:174) and its exact encoder interaction lives in the
-unavailable submodule.
+`shuffle_obs` (cpp/hanabi_env.cc:134-143, 2 players only): every encode
+samples, per observer, a fresh uniform permutation of the partner's occupied
+hand slots and displays the partner's hand, the partner's card-knowledge
+block, and partner-slot-indexed last-action bits in that shuffled order —
+destroying slot-identity conventions. The fork encoder's exact section
+interaction lives in the unavailable submodule; this spec (all
+partner-slot-indexed features permuted consistently, resampled per step) is
+the behavior the SAD paper's "shuffled observations" baseline requires.
+Note the reference trainer itself asserts the flag off (selfplay.py:174,
+"not working with 2nd order aux"); this trainer supports it.
 """
 
 from __future__ import annotations
@@ -51,10 +57,9 @@ class EnvConfig:
 
     def __post_init__(self):
         if self.shuffle_obs:
-            raise NotImplementedError(
-                "shuffle_obs is asserted off in the reference trainer "
-                "(selfplay.py:174) and is not supported"
-            )
+            # The reference's shuffle is "hacked for 2 players"
+            # (cpp/hanabi_env.cc:136).
+            assert self.game.players == 2, "shuffle_obs requires 2 players"
 
     @property
     def feature_size(self) -> int:
@@ -95,13 +100,41 @@ def observe(cfg: EnvConfig, state: EnvState) -> Obs:
     g = cfg.game
     players = jnp.arange(g.players, dtype=jnp.int32)
 
-    priv = jax.vmap(lambda p: encoder.encode_observation(g, state.game, p, state.color_perm[p]))(
-        players
-    )  # [P, obs_dim]
+    if cfg.shuffle_obs:
+        # Fresh partner-hand shuffle per step per observer. state.key is
+        # constant within an episode, so fold in the step counter (and the
+        # observer seat) for per-encode randomness; only occupied slots
+        # permute (hands are compact, empties stay a suffix).
+        step_key = jax.random.fold_in(state.key, state.num_step)
+
+        def _shuffle_for(p):
+            k = jax.random.fold_in(step_key, p)
+            partner_hand = state.game.hands[(p + 1) % g.players]
+            scores = jnp.where(
+                partner_hand >= 0,
+                jax.random.uniform(k, (g.hand_size,)),
+                jnp.inf,
+            )
+            return jnp.argsort(scores).astype(jnp.int32)
+
+        shuffles = jax.vmap(_shuffle_for)(players)  # [P, H]
+    else:
+        shuffles = None
+
+    def _obs_for(p):
+        shuf = None if shuffles is None else shuffles[p]
+        return encoder.encode_observation(g, state.game, p, state.color_perm[p], shuf)
+
+    priv = jax.vmap(_obs_for)(players)  # [P, obs_dim]
     if cfg.sad:
-        sad_block = jax.vmap(
-            lambda p: encoder.encode_last_action(g, state.sad_record, p, state.color_perm[p])
-        )(players)
+
+        def _sad_for(p):
+            shuf = None if shuffles is None else shuffles[p]
+            return encoder.encode_last_action(
+                g, state.sad_record, p, state.color_perm[p], shuf
+            )
+
+        sad_block = jax.vmap(_sad_for)(players)
         priv = jnp.concatenate([priv, sad_block], axis=-1)
 
     legal = moves.legal_moves_all(g, state.game)  # [P, A] bool

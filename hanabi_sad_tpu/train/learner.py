@@ -83,6 +83,7 @@ def make_setup(cfg: TrainConfig) -> Setup:
         max_len=cfg.max_len,
         sad=cfg.sad,
         shuffle_color=cfg.shuffle_color,
+        shuffle_obs=cfg.shuffle_obs,
     )
     eval_env = EnvConfig(
         game=GameConfig(players=cfg.num_player, hand_size=cfg.hand_size, bomb=cfg.eval_bomb),

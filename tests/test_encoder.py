@@ -274,3 +274,93 @@ class TestSadChannel:
         applied = apply_move(CFG, state, gmove)
         real_block = encoder.encode_last_action(CFG, applied.last, jnp.asarray(1), IDENT)
         np.testing.assert_array_equal(np.asarray(sad_block), np.asarray(real_block))
+
+
+class TestShuffleObs:
+    """shuffle_obs: a per-encode permutation of the partner's hand slots
+    (cpp/hanabi_env.cc:134-143) applied consistently to every
+    partner-slot-indexed section."""
+
+    SHUF = jnp.asarray([2, 0, 4, 1, 3], dtype=jnp.int32)
+
+    def test_hands_section_permuted(self):
+        state = make_game(sorted_deck())
+        plain = sections(CFG, encoder.encode_observation(CFG, state, jnp.asarray(0), IDENT))
+        shuf = sections(
+            CFG, encoder.encode_observation(CFG, state, jnp.asarray(0), IDENT, self.SHUF)
+        )
+        own_plain = plain["hands"][:125].reshape(5, 25)
+        own_shuf = shuf["hands"][:125].reshape(5, 25)
+        np.testing.assert_array_equal(own_shuf, 0)  # own hand still hidden
+        np.testing.assert_array_equal(own_plain, own_shuf)
+        partner_plain = plain["hands"][125:250].reshape(5, 25)
+        partner_shuf = shuf["hands"][125:250].reshape(5, 25)
+        np.testing.assert_array_equal(partner_shuf, partner_plain[np.asarray(self.SHUF)])
+        # trailing short-hand bits untouched
+        np.testing.assert_array_equal(plain["hands"][250:], shuf["hands"][250:])
+
+    def test_other_sections_unchanged(self):
+        state = make_game(sorted_deck())
+        plain = sections(CFG, encoder.encode_observation(CFG, state, jnp.asarray(0), IDENT))
+        shuf = sections(
+            CFG, encoder.encode_observation(CFG, state, jnp.asarray(0), IDENT, self.SHUF)
+        )
+        np.testing.assert_array_equal(plain["board"], shuf["board"])
+        np.testing.assert_array_equal(plain["discard"], shuf["discard"])
+
+    def test_knowledge_follows_hand_order(self):
+        # Hint red to player 1, then observe as player 0 with a shuffle: the
+        # partner knowledge slots must be permuted by the same order.
+        state = make_game(sorted_deck())
+        state = apply_move(CFG, state, mv(move_type=REVEAL_COLOR, color=0))
+        plain = sections(CFG, encoder.encode_observation(CFG, state, jnp.asarray(0), IDENT))
+        shuf = sections(
+            CFG, encoder.encode_observation(CFG, state, jnp.asarray(0), IDENT, self.SHUF)
+        )
+        own_k_plain = plain["knowledge"][: 5 * 35].reshape(5, 35)
+        own_k_shuf = shuf["knowledge"][: 5 * 35].reshape(5, 35)
+        np.testing.assert_array_equal(own_k_plain, own_k_shuf)
+        partner_plain = plain["knowledge"][5 * 35 :].reshape(5, 35)
+        partner_shuf = shuf["knowledge"][5 * 35 :].reshape(5, 35)
+        np.testing.assert_array_equal(partner_shuf, partner_plain[np.asarray(self.SHUF)])
+
+    def test_last_action_position_remapped_for_partner_move(self):
+        # Player 0 plays slot 3; player 1 observes with a shuffle: the
+        # position one-hot must point at the displayed slot d with
+        # shuf[d] == 3. Here SHUF[4] == 3 -> displayed slot 4.
+        state = make_game(sorted_deck())
+        state = apply_move(CFG, state, mv(move_type=PLAY, position=3))
+        la = sections(
+            CFG, encoder.encode_observation(CFG, state, jnp.asarray(1), IDENT, self.SHUF)
+        )["last_action"]
+        pos_bits = la[23:28]  # 2P actor + 4 type + 2P target + 5 color + 5 rank + 5 reveal -> 23
+        np.testing.assert_array_equal(pos_bits, [0, 0, 0, 0, 1])
+
+    def test_last_action_position_unchanged_for_own_move(self):
+        # Player 0 plays slot 3 and then observes (own move): no remap.
+        state = make_game(sorted_deck())
+        state = apply_move(CFG, state, mv(move_type=PLAY, position=3))
+        la_plain = sections(
+            CFG, encoder.encode_observation(CFG, state, jnp.asarray(0), IDENT)
+        )["last_action"]
+        la_shuf = sections(
+            CFG, encoder.encode_observation(CFG, state, jnp.asarray(0), IDENT, self.SHUF)
+        )["last_action"]
+        np.testing.assert_array_equal(la_plain, la_shuf)
+
+    def test_reveal_mask_remapped_when_partner_is_target(self):
+        # Player 1 hints rank to player 0's hand; player 1 (the hinter)
+        # observes: the target is its partner, so the reveal mask follows the
+        # shuffled order.
+        state = make_game(sorted_deck())
+        state = state._replace(cur_player=jnp.asarray(1, jnp.int32))
+        state = apply_move(CFG, state, mv(move_type=REVEAL_RANK, rank=0))
+        la_plain = sections(
+            CFG, encoder.encode_observation(CFG, state, jnp.asarray(1), IDENT)
+        )["last_action"]
+        la_shuf = sections(
+            CFG, encoder.encode_observation(CFG, state, jnp.asarray(1), IDENT, self.SHUF)
+        )["last_action"]
+        mask_plain = la_plain[18:23]
+        mask_shuf = la_shuf[18:23]
+        np.testing.assert_array_equal(mask_shuf, mask_plain[np.asarray(self.SHUF)])

@@ -145,3 +145,73 @@ class TestVectorized:
         assert bool(np.asarray(state.done).all())  # max_len forces all done
         scores = np.asarray(state.last_score)
         assert (scores >= 0).all() and (scores <= 25).all()
+
+
+class TestShuffleObs:
+    """shuffle_obs mode: per-step partner-hand order shuffle
+    (cpp/hanabi_env.cc:134-143)."""
+
+    def _paired_obs(self, seed, steps=12):
+        cfg_on = EnvConfig(game=GameConfig(players=2), shuffle_obs=True, max_len=80)
+        cfg_off = EnvConfig(game=GameConfig(players=2), max_len=80)
+        state, obs = reset(cfg_on, jax.random.PRNGKey(seed))
+        pairs = []
+        key = jax.random.PRNGKey(seed + 1)
+        for _ in range(steps):
+            pairs.append((observe(cfg_on, state), observe(cfg_off, state)))
+            key, k = jax.random.split(key)
+            a = random_legal(k, obs["legal_move"])
+            state, obs, _, d = step(cfg_on, state, {"a": a, "greedy_a": a})
+            if bool(d):
+                break
+        return pairs
+
+    def test_partner_block_is_permutation(self):
+        H = 5
+        saw_shuffled = False
+        for on, off in self._paired_obs(0):
+            for p in range(2):
+                on_hand = np.asarray(on["priv_s"][p][125:250]).reshape(H, 25)
+                off_hand = np.asarray(off["priv_s"][p][125:250]).reshape(H, 25)
+                on_rows = sorted(map(tuple, on_hand))
+                off_rows = sorted(map(tuple, off_hand))
+                assert on_rows == off_rows  # same multiset of cards
+                if not np.array_equal(on_hand, off_hand):
+                    saw_shuffled = True
+                # non-partner-indexed outputs identical
+                np.testing.assert_array_equal(
+                    np.asarray(on["priv_s"][p][250:252]),
+                    np.asarray(off["priv_s"][p][250:252]),
+                )  # short-hand bits
+                np.testing.assert_array_equal(
+                    np.asarray(on["priv_s"][p][252:378]),
+                    np.asarray(off["priv_s"][p][252:378]),
+                )  # board + discard
+            np.testing.assert_array_equal(
+                np.asarray(on["legal_move"]), np.asarray(off["legal_move"])
+            )
+            np.testing.assert_array_equal(
+                np.asarray(on["own_hand"]), np.asarray(off["own_hand"])
+            )
+        assert saw_shuffled  # at least one step actually permuted
+
+    def test_deterministic_per_state(self):
+        cfg = EnvConfig(game=GameConfig(players=2), shuffle_obs=True, max_len=80)
+        state, _ = reset(cfg, jax.random.PRNGKey(3))
+        a = observe(cfg, state)
+        b = observe(cfg, state)
+        np.testing.assert_array_equal(np.asarray(a["priv_s"]), np.asarray(b["priv_s"]))
+
+    def test_full_episode_runs(self):
+        cfg = EnvConfig(game=GameConfig(players=2), shuffle_obs=True, sad=True, max_len=80)
+        state, obs, rs, ds, _, _ = rollout(cfg, jax.random.PRNGKey(7), num_steps=80)
+        assert bool(ds[-1])
+        priv = np.asarray(obs["priv_s"])
+        assert priv.shape[-1] == 838
+        assert np.isin(priv, [0.0, 1.0]).all()
+
+    def test_requires_two_players(self):
+        import pytest
+
+        with pytest.raises(AssertionError):
+            EnvConfig(game=GameConfig(players=3), shuffle_obs=True)
