@@ -54,10 +54,18 @@ def shard_train_state(state, mesh: Mesh, axis: str = "data"):
     replay = jax.tree_util.tree_map(place_replay, state.replay)
     params = jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), state.params)
     opt_state = jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), state.opt_state)
+    # Continuous-mode persistent actor state: every leaf leads with the env
+    # axis (num_envs), sharded like the replay items.
+    actor = (
+        jax.tree_util.tree_map(place_replay, state.actor)
+        if state.actor is not None
+        else None
+    )
     return state._replace(
         params=params,
         opt_state=opt_state,
         replay=replay,
+        actor=actor,
         num_update=jax.device_put(state.num_update, repl),
         env_key=jax.device_put(state.env_key, repl),
         sample_key=jax.device_put(state.sample_key, repl),

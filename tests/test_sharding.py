@@ -20,7 +20,7 @@ def mesh():
     return make_mesh(jax.devices()[:8])
 
 
-def tiny_setup(n_dev):
+def tiny_setup(n_dev, **overrides):
     cfg = make_config(
         "dev",
         save_dir="/tmp/shard_test",
@@ -32,6 +32,7 @@ def tiny_setup(n_dev):
         max_len=12,
         rnn_hid_dim=32,
         num_eps=4,
+        **overrides,
     )
     return learner.make_setup(cfg)
 
@@ -44,6 +45,23 @@ class TestShardedTraining:
         # replay storage actually sharded across devices
         shardings = state.replay.packed.sharding
         assert len(shardings.device_set) == 8
+        with mesh:
+            collect = learner.make_collect_only(setup)
+            chunk = learner.make_train_chunk(setup)
+            state, _ = collect(state)
+            state, metrics = chunk(state)
+        assert np.isfinite(float(metrics["loss"]))
+        assert int(state.num_update) == 2
+
+    def test_continuous_chunk_runs_sharded(self, mesh):
+        """Continuous rollout mode: the persistent actor state (env + carried
+        partial episodes, leading dim num_envs) must shard over the data axis
+        and the chunk must run."""
+        setup = tiny_setup(8, rollout_mode="continuous", slots_per_env=2)
+        state = learner.init_train_state(setup, jax.random.PRNGKey(0))
+        state = shard_train_state(state, mesh)
+        assert len(state.actor.carry_packed.sharding.device_set) == 8
+        assert len(state.actor.env_state.game.deck.sharding.device_set) == 8
         with mesh:
             collect = learner.make_collect_only(setup)
             chunk = learner.make_train_chunk(setup)
