@@ -75,6 +75,11 @@ class TrainConfig:
     num_eval_game: int = 1000
     eval_max_steps: int = 128  # > longest possible game; eval has no forced cap
     eval_freq_epochs: int = 1
+    # Capture a jax.profiler device/host trace (Perfetto + XPlane, viewable in
+    # TensorBoard / ui.perfetto.dev) of this many steady-state train chunks
+    # into <save_dir>/profile. 0 = off. The reference's only profiling is a
+    # wall-clock Stopwatch (SURVEY.md §5 "no chrome-trace/timeline tooling").
+    profile_chunks: int = 0
 
     def __post_init__(self):
         assert self.method in ("vdn", "iql")

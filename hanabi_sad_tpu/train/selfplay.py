@@ -140,11 +140,23 @@ def _train_loop(cfg, setup, state, saver, max_chunks) -> dict:
 
         epoch_frames = 0
         for _ in range(chunks_per_epoch):
+            # Trace steady-state chunks (skip chunk 1 = compile) on request.
+            profiling = (
+                cfg.profile_chunks > 0
+                and total_chunks + 1 > 1
+                and total_chunks + 1 <= 1 + cfg.profile_chunks
+            )
+            if profiling and total_chunks + 1 == 2:
+                jax.profiler.start_trace(os.path.join(cfg.save_dir, "profile"))
             state, metrics = train_chunk(state)
             total_chunks += 1
             if total_chunks == 1:
                 jax.block_until_ready(metrics["loss"])  # count compile separately
                 stopwatch.time("compile")
+            if profiling and total_chunks == 1 + cfg.profile_chunks:
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
+                print(f"profiler trace written to {cfg.save_dir}/profile")
             metrics = {k: float(v) for k, v in metrics.items()}
             stopwatch.time("train chunk")
             stat.feed_dict(
