@@ -103,9 +103,16 @@ def load_obl_model(path: str) -> EvalPolicy:
 
 
 def load_native_checkpoint(path: str, hand_size: int = 5) -> EvalPolicy:
-    """This framework's .pkl payload (params-only or full train state)."""
+    """This framework's .pkl payload (params-only or full train state).
+
+    Payloads written by the trainer carry their TrainConfig (the reference
+    instead re-parses flags out of train.log, utils.py:87-116); when present
+    it overrides the shape-inferred sad/hand_size guesses."""
     payload = ckpt.load(path)
     saved = payload["params"]
+    saved_cfg = payload.get("config")
+    if saved_cfg:
+        hand_size = saved_cfg.get("hand_size", hand_size)
     # params may be a bare R2D2NetParams (TopkSaver payloads save the online
     # net) or an AgentParams pair.
     if hasattr(saved, "online"):
@@ -126,16 +133,18 @@ def load_native_checkpoint(path: str, hand_size: int = 5) -> EvalPolicy:
         num_lstm_layer=len(net.lstm),
         hand_size=hand_size,
         num_fc_layer=len(net.net),
+        skip_connect=bool(saved_cfg.get("skip_connect", False)) if saved_cfg else False,
     )
     import jax.numpy as jnp
 
     net_jax = jax.tree_util.tree_map(jnp.asarray, net)
     params = AgentParams(online=net_jax, target=net_jax)
+    sad = saved_cfg["sad"] if saved_cfg and "sad" in saved_cfg else in_dim >= 838
     return EvalPolicy(
         params=params,
         agent_cfg=_agent_cfg_for(net_cfg),
         act_fn=r2d2_agent.act,
-        sad=in_dim >= 838,
+        sad=sad,
     )
 
 

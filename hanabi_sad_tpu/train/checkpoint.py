@@ -24,9 +24,15 @@ def tree_to_numpy(tree) -> Any:
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
-def params_payload(params) -> Dict:
-    """Weights-only payload (the reference's .pthw equivalent)."""
-    return {"kind": "params", "params": tree_to_numpy(params)}
+def params_payload(params, config_dict: Optional[Dict] = None) -> Dict:
+    """Weights-only payload (the reference's .pthw equivalent). Unlike a
+    .pthw — whose training flags must be re-parsed out of train.log at load
+    time (reference utils.py:87-116) — the payload carries the config
+    itself when provided."""
+    out = {"kind": "params", "params": tree_to_numpy(params)}
+    if config_dict is not None:
+        out["config"] = dict(config_dict)
+    return out
 
 
 def train_state_payload(state, config_dict: Dict) -> Dict:

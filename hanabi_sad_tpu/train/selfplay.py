@@ -186,7 +186,9 @@ def _train_loop(cfg, setup, state, saver, max_chunks) -> dict:
         stopwatch.time("eval")
         force = f"model_epoch{epoch}" if (epoch > 0 and epoch % 50 == 0) else None
         model_saved = saver.save(
-            ckpt.params_payload(state.params.online), score, force_save_name=force
+            ckpt.params_payload(state.params.online, dataclasses.asdict(cfg)),
+            score,
+            force_save_name=force,
         )
         ckpt.save(
             os.path.join(cfg.save_dir, "latest.pkl"),
