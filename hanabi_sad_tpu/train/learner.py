@@ -175,10 +175,17 @@ def collect_chunk(
     priority = r2d2_agent.compute_priority_from_rollout(
         params, setup.agent, batch, online_qa, greedy_a
     )
+    # Fraction of submitted actions that deviated from greedy on live frames —
+    # a working version of the reference's dead exploration-ratio diagnostics
+    # (utils.py:174-215; its env counters aren't exposed in the snapshot).
+    prev_done = jnp.cumsum(out.done, axis=0) - out.done.astype(jnp.int32) > 0  # [T, N]
+    live = (~prev_done)[..., None]  # [T, N, 1] broadcast over players
+    deviated = (out.action != out.greedy_a) & live
     stats = {
         "chunk_score": out.last_score.astype(jnp.float32).mean(),
         "chunk_len": episodes.seq_len.mean(),
         "chunk_frames": episodes.seq_len.sum(),
+        "explore_ratio": deviated.sum() / jnp.maximum(live.sum() * out.action.shape[-1], 1),
     }
     return episodes, priority, stats, env_key
 
@@ -262,6 +269,8 @@ def collect_into_replay(setup: Setup, state: TrainState):
             "chunk_len": frames / jnp.maximum(episodes.valid.sum(), 1),
             "chunk_frames": frames,
             "dropped_episodes": episodes.dropped.astype(jnp.float32),
+            # every continuous-mode frame is live (see aligned-mode comment)
+            "explore_ratio": (stream.action != stream.greedy).mean(),
         }
         return state._replace(replay=replay, env_key=env_key, actor=actor), chunk_stats
 

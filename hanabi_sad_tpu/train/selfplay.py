@@ -160,7 +160,7 @@ def _train_loop(cfg, setup, state, saver, max_chunks) -> dict:
             metrics = {k: float(v) for k, v in metrics.items()}
             stopwatch.time("train chunk")
             stat.feed_dict(
-                {k: v for k, v in metrics.items() if k in ("loss", "grad_norm", "rl_loss", "aux1", "chunk_score", "chunk_len")}
+                {k: v for k, v in metrics.items() if k in ("loss", "grad_norm", "rl_loss", "aux1", "chunk_score", "chunk_len", "explore_ratio")}
             )
             epoch_frames += int(metrics["chunk_frames"])
             num_act_total += int(metrics["chunk_frames"]) * cfg.num_player
