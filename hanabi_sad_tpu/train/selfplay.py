@@ -132,8 +132,11 @@ def _train_loop(cfg, setup, state, saver, max_chunks) -> dict:
 
     summary = {}
     total_chunks = 0
+    from hanabi_sad_tpu.utils.helper import get_mem_usage
+
     for epoch in range(cfg.num_epoch):
         print(f"beginning of epoch: {epoch}")
+        print(get_mem_usage())  # selfplay.py:203
         tachometer.start()
         stat.reset()
         stopwatch.reset()
