@@ -5,6 +5,7 @@ from hanabi_sad_tpu.utils.stopwatch import Stopwatch
 from hanabi_sad_tpu.utils.tachometer import Tachometer
 from hanabi_sad_tpu.utils.helper import set_all_seeds, generate_log_uniform, get_mem_usage
 from hanabi_sad_tpu.utils import belief
+from hanabi_sad_tpu.utils import asserts
 
 __all__ = [
     "Logger",

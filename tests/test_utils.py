@@ -115,3 +115,45 @@ class TestV0FromState:
         assert v0_slot0[color].sum() > 0
         mask = np.ones(5, bool); mask[color] = False
         assert v0_slot0[mask].sum() == 0
+
+
+class TestAsserts:
+    """Assertion helpers (reference common_utils/assert_utils.py)."""
+
+    def test_scalar_asserts(self):
+        from hanabi_sad_tpu.utils import asserts
+
+        asserts.assert_eq(3, 3)
+        asserts.assert_neq(3, 4)
+        asserts.assert_lt(1, 2)
+        asserts.assert_lteq(2, 2)
+        import pytest
+
+        with pytest.raises(AssertionError):
+            asserts.assert_eq(3, 4)
+
+    def test_tensor_and_tree(self):
+        import jax.numpy as jnp
+        import pytest
+
+        from hanabi_sad_tpu.utils import asserts
+
+        a = {"x": jnp.ones((3,)), "y": jnp.zeros((2, 2))}
+        b = {"x": jnp.ones((3,)), "y": jnp.zeros((2, 2))}
+        asserts.assert_tree_close(a, b)
+        b2 = {"x": jnp.ones((3,)) + 1e-3, "y": jnp.zeros((2, 2))}
+        with pytest.raises(AssertionError):
+            asserts.assert_tree_close(a, b2)
+
+    def test_zero_grad(self):
+        import jax
+        import jax.numpy as jnp
+        import pytest
+
+        from hanabi_sad_tpu.utils import asserts
+
+        # gradient of a function that ignores its parameter is exactly zero
+        g = jax.grad(lambda p: jnp.sum(jnp.zeros(()) * 0.0 + 1.0))(jnp.ones((4,)))
+        asserts.assert_zero_grad({"w": g})
+        with pytest.raises(AssertionError):
+            asserts.assert_zero_grad({"w": jnp.ones((2,))})
