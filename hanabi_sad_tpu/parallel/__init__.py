@@ -3,6 +3,13 @@ from hanabi_sad_tpu.parallel.mesh import (
     data_sharding,
     replicated_sharding,
     shard_train_state,
+    initialize_multihost,
 )
 
-__all__ = ["make_mesh", "data_sharding", "replicated_sharding", "shard_train_state"]
+__all__ = [
+    "make_mesh",
+    "data_sharding",
+    "replicated_sharding",
+    "shard_train_state",
+    "initialize_multihost",
+]

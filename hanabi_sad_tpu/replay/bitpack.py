@@ -11,7 +11,11 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-_POWERS = 2 ** jnp.arange(8, dtype=jnp.uint8)  # little-endian bit order
+def _powers() -> jnp.ndarray:
+    # Little-endian bit order. Computed lazily: a module-level jnp constant
+    # would initialize the XLA backend at import time, which breaks
+    # jax.distributed.initialize() (train/selfplay.py multihost guard).
+    return 2 ** jnp.arange(8, dtype=jnp.uint8)
 
 
 def packed_size(n_bits: int) -> int:
@@ -29,7 +33,7 @@ def pack_bits(bits: jnp.ndarray) -> jnp.ndarray:
             [b, jnp.zeros(b.shape[:-1] + (pad,), jnp.uint8)], axis=-1
         )
     b = b.reshape(b.shape[:-1] + (n_bytes, 8))
-    return (b * _POWERS).sum(-1).astype(jnp.uint8)
+    return (b * _powers()).sum(-1).astype(jnp.uint8)
 
 
 def unpack_bits(packed: jnp.ndarray, n_bits: int, dtype=jnp.float32) -> jnp.ndarray:

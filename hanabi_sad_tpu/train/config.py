@@ -80,6 +80,11 @@ class TrainConfig:
     # into <save_dir>/profile. 0 = off. The reference's only profiling is a
     # wall-clock Stopwatch (SURVEY.md §5 "no chrome-trace/timeline tooling").
     profile_chunks: int = 0
+    # Multi-host (DCN) scale-out: call jax.distributed.initialize() before
+    # device discovery so the data mesh spans every host's chips
+    # (parallel/mesh.py; the reference is strictly single-machine,
+    # SURVEY.md §2.16).
+    multihost: bool = False
 
     def __post_init__(self):
         assert self.method in ("vdn", "iql")

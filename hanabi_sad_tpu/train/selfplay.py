@@ -17,6 +17,28 @@ import pprint
 import sys
 import time
 
+# Multi-host (DCN) scale-out: jax.distributed.initialize() must run before
+# anything initializes the XLA backend, so handle the flag before the jax
+# imports below (parallel/mesh.py docstring; the reference is strictly
+# single-machine, SURVEY.md §2.16). On pod slices with a standard launcher
+# the no-arg form autodetects coordinator/process topology.
+if __name__ == "__main__" and "--multihost" in sys.argv:
+    _i = sys.argv.index("--multihost")
+    if _i + 1 >= len(sys.argv) or sys.argv[_i + 1] not in ("0", "false", "False"):
+        import jax
+
+        if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+            # Explicit topology via env (any launcher): coordinator +
+            # JAX_NUM_PROCESSES + JAX_PROCESS_ID.
+            jax.distributed.initialize(
+                coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+                num_processes=int(os.environ.get("JAX_NUM_PROCESSES", "1")),
+                process_id=int(os.environ.get("JAX_PROCESS_ID", "0")),
+            )
+        else:
+            # Recognized clusters (TPU pod / SLURM / GKE) autodetect.
+            jax.distributed.initialize()
+
 import jax
 import numpy as np
 
@@ -64,6 +86,14 @@ def train(cfg: TrainConfig, *, max_chunks: int = 0) -> dict:
 
 
 def _train_impl(cfg: TrainConfig, max_chunks: int) -> dict:
+    if cfg.multihost:
+        # jax.distributed.initialize() already ran in the pre-import guard at
+        # the top of this file (it must precede XLA backend init); when train()
+        # is called as a library the caller owns initialization.
+        print(
+            f"multihost: process {jax.process_index()}/{jax.process_count()}, "
+            f"{jax.local_device_count()} local of {jax.device_count()} devices"
+        )
     pprint.pprint(dataclasses.asdict(cfg))
     saver = TopkSaver(cfg.save_dir, 5)
 
