@@ -56,10 +56,10 @@ class EnvConfig:
     shuffle_obs: bool = False
 
     def __post_init__(self):
-        if self.shuffle_obs:
+        if self.shuffle_obs and self.game.players != 2:
             # The reference's shuffle is "hacked for 2 players"
             # (cpp/hanabi_env.cc:136).
-            assert self.game.players == 2, "shuffle_obs requires 2 players"
+            raise ValueError("shuffle_obs requires 2 players")
 
     @property
     def feature_size(self) -> int:
@@ -104,8 +104,13 @@ def observe(cfg: EnvConfig, state: EnvState) -> Obs:
         # Fresh partner-hand shuffle per step per observer. state.key is
         # constant within an episode, so fold in the step counter (and the
         # observer seat) for per-encode randomness; only occupied slots
-        # permute (hands are compact, empties stay a suffix).
-        step_key = jax.random.fold_in(state.key, state.num_step)
+        # permute (hands are compact, empties stay a suffix). The stream is
+        # first decorrelated with a large tag: fold_in(key, i) equals
+        # split(key, n)[i] under threefry, and step_autoreset consumes
+        # split(state.key) for the next episode's reset — without the tag the
+        # step-0/1 shuffle keys would collide with the next deck's keys.
+        step_key = jax.random.fold_in(state.key, 0x5AD0_0B5)
+        step_key = jax.random.fold_in(step_key, state.num_step)
 
         def _shuffle_for(p):
             k = jax.random.fold_in(step_key, p)

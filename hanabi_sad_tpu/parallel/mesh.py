@@ -73,8 +73,18 @@ def shard_train_state(state, mesh: Mesh, axis: str = "data"):
 
 
 def initialize_multihost(coordinator: Optional[str] = None, num_processes: Optional[int] = None, process_id: Optional[int] = None):
-    """Multi-host entry (DCN scale-out). On a pod slice with launcher-provided
-    env vars, jax.distributed.initialize() autodetects everything."""
+    """Multi-host entry (DCN scale-out). Must run before anything initializes
+    the XLA backend. Resolution order: explicit args; else
+    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID env vars
+    (any launcher); else jax.distributed.initialize() autodetection
+    (TPU pod / SLURM / GKE)."""
+    import os
+
+    if coordinator is None:
+        coordinator = os.environ.get("JAX_COORDINATOR_ADDRESS")
+        if coordinator is not None:
+            num_processes = int(os.environ.get("JAX_NUM_PROCESSES", "1"))
+            process_id = int(os.environ.get("JAX_PROCESS_ID", "0"))
     if coordinator is None:
         jax.distributed.initialize()
     else:

@@ -91,6 +91,10 @@ def make_setup(cfg: TrainConfig) -> Setup:
         max_len=-1,
         sad=cfg.sad,
         shuffle_color=False,
+        # Unlike shuffle_color (eval-off is the reference's explicit choice,
+        # eval.py:29-40), shuffle_obs defines the observation distribution the
+        # policy is trained for — eval must match it.
+        shuffle_obs=cfg.shuffle_obs,
     )
     net = NetConfig(
         in_dim=env.feature_size,

@@ -22,22 +22,22 @@ import time
 # imports below (parallel/mesh.py docstring; the reference is strictly
 # single-machine, SURVEY.md §2.16). On pod slices with a standard launcher
 # the no-arg form autodetects coordinator/process topology.
-if __name__ == "__main__" and "--multihost" in sys.argv:
-    _i = sys.argv.index("--multihost")
-    if _i + 1 >= len(sys.argv) or sys.argv[_i + 1] not in ("0", "false", "False"):
-        import jax
+def _multihost_requested(argv) -> bool:
+    for i, a in enumerate(argv):
+        if a == "--multihost":
+            nxt = argv[i + 1] if i + 1 < len(argv) else "1"
+            return nxt not in ("0", "false", "False")
+        if a.startswith("--multihost="):
+            return a.split("=", 1)[1] not in ("0", "false", "False")
+    return False
 
-        if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-            # Explicit topology via env (any launcher): coordinator +
-            # JAX_NUM_PROCESSES + JAX_PROCESS_ID.
-            jax.distributed.initialize(
-                coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
-                num_processes=int(os.environ.get("JAX_NUM_PROCESSES", "1")),
-                process_id=int(os.environ.get("JAX_PROCESS_ID", "0")),
-            )
-        else:
-            # Recognized clusters (TPU pod / SLURM / GKE) autodetect.
-            jax.distributed.initialize()
+
+if __name__ == "__main__" and _multihost_requested(sys.argv):
+    # Importing the package is backend-free (see replay/bitpack.py _powers),
+    # so the shared helper can run here, before the jax-touching imports below.
+    from hanabi_sad_tpu.parallel import initialize_multihost
+
+    initialize_multihost()
 
 import jax
 import numpy as np
@@ -162,6 +162,7 @@ def _train_loop(cfg, setup, state, saver, max_chunks) -> dict:
 
     summary = {}
     total_chunks = 0
+    trace_active = False
     from hanabi_sad_tpu.utils.helper import get_mem_usage
 
     for epoch in range(cfg.num_epoch):
@@ -181,14 +182,16 @@ def _train_loop(cfg, setup, state, saver, max_chunks) -> dict:
             )
             if profiling and total_chunks + 1 == 2:
                 jax.profiler.start_trace(os.path.join(cfg.save_dir, "profile"))
+                trace_active = True
             state, metrics = train_chunk(state)
             total_chunks += 1
             if total_chunks == 1:
                 jax.block_until_ready(metrics["loss"])  # count compile separately
                 stopwatch.time("compile")
-            if profiling and total_chunks == 1 + cfg.profile_chunks:
+            if trace_active and total_chunks >= 1 + cfg.profile_chunks:
                 jax.block_until_ready(metrics["loss"])
                 jax.profiler.stop_trace()
+                trace_active = False
                 print(f"profiler trace written to {cfg.save_dir}/profile")
             metrics = {k: float(v) for k, v in metrics.items()}
             stopwatch.time("train chunk")
@@ -218,15 +221,20 @@ def _train_loop(cfg, setup, state, saver, max_chunks) -> dict:
         score, perfect = float(score), float(perfect)
         stopwatch.time("eval")
         force = f"model_epoch{epoch}" if (epoch > 0 and epoch % 50 == 0) else None
-        model_saved = saver.save(
-            ckpt.params_payload(state.params.online, dataclasses.asdict(cfg)),
-            score,
-            force_save_name=force,
-        )
-        ckpt.save(
-            os.path.join(cfg.save_dir, "latest.pkl"),
-            ckpt.train_state_payload(state, dataclasses.asdict(cfg)),
-        )
+        # Multihost: eval participates on every process (it is a global SPMD
+        # computation), but only process 0 writes checkpoints — concurrent
+        # writers on a shared save_dir would corrupt the pickles.
+        model_saved = False
+        if jax.process_index() == 0:
+            model_saved = saver.save(
+                ckpt.params_payload(state.params.online, dataclasses.asdict(cfg)),
+                score,
+                force_save_name=force,
+            )
+            ckpt.save(
+                os.path.join(cfg.save_dir, "latest.pkl"),
+                ckpt.train_state_payload(state, dataclasses.asdict(cfg)),
+            )
         print(
             "epoch %d, eval score: %.4f, perfect: %.2f, model saved: %s"
             % (epoch, score, perfect * 100, model_saved)
@@ -240,6 +248,10 @@ def _train_loop(cfg, setup, state, saver, max_chunks) -> dict:
         print("==========")
         if max_chunks and total_chunks >= max_chunks:
             break
+    if trace_active:
+        # Run ended before reaching 1+profile_chunks chunks — flush anyway.
+        jax.profiler.stop_trace()
+        print(f"profiler trace written to {cfg.save_dir}/profile (truncated run)")
     return summary
 
 

@@ -213,5 +213,5 @@ class TestShuffleObs:
     def test_requires_two_players(self):
         import pytest
 
-        with pytest.raises(AssertionError):
+        with pytest.raises(ValueError):
             EnvConfig(game=GameConfig(players=3), shuffle_obs=True)
