@@ -122,6 +122,10 @@ def generate_explore_eps(base_eps: float, alpha: float, num_env: int) -> Tuple[f
 # grad clip 5, gamma .999, eps menu base .1 alpha 7, prioritized alpha .9
 # beta .6, buffer 2^17, batch 128.
 _COMMON = dict(
+    # Production rollout path: auto-resetting envs, zero idle frames (both
+    # long training runs in BENCHMARKS.md used it). TrainConfig's own default
+    # stays "aligned" so direct construction exercises the simpler mode.
+    rollout_mode="continuous",
     act_base_eps=0.1,
     act_eps_alpha=7.0,
     lr=6.25e-5,

@@ -21,6 +21,7 @@ def mesh():
 
 
 def tiny_setup(n_dev, **overrides):
+    overrides.setdefault("rollout_mode", "aligned")  # continuous tested explicitly
     cfg = make_config(
         "dev",
         save_dir="/tmp/shard_test",
