@@ -48,6 +48,9 @@ def render(normed: np.ndarray, labels=IDX2ACTION) -> str:
 
 
 def main(argv=None):
+    from hanabi_sad_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--weight", required=True, type=str)
     parser.add_argument("--num_game", default=1000, type=int)

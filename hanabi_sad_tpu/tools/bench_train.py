@@ -22,6 +22,9 @@ from hanabi_sad_tpu.train.config import make_config
 
 
 def main(argv=None):
+    from hanabi_sad_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--preset", default="sad_2p")
     parser.add_argument("--num_envs", type=int, default=1024)

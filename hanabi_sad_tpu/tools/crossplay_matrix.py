@@ -49,6 +49,9 @@ def render(scores: np.ndarray, names) -> str:
 
 
 def main(argv=None):
+    from hanabi_sad_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--weights", nargs="+", required=True)
     parser.add_argument("--num_game", default=1000, type=int)

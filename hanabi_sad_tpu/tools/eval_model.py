@@ -38,6 +38,9 @@ def evaluate_agents(policies, num_game, seed, bomb, num_run=1, verbose=True):
 
 
 def main(argv=None):
+    from hanabi_sad_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--paper", default="sad", type=str, help="sad/op/obl")
     parser.add_argument("--num_game", default=5000, type=int)

@@ -45,7 +45,14 @@ import numpy as np
 from hanabi_sad_tpu.train import checkpoint as ckpt
 from hanabi_sad_tpu.train import learner
 from hanabi_sad_tpu.train.config import PRESETS, TrainConfig, make_config
-from hanabi_sad_tpu.utils import Logger, MultiCounter, Stopwatch, Tachometer, TopkSaver
+from hanabi_sad_tpu.utils import (
+    Logger,
+    MultiCounter,
+    Stopwatch,
+    Tachometer,
+    TopkSaver,
+    enable_compilation_cache,
+)
 
 
 def parse_args(argv=None) -> TrainConfig:
@@ -74,6 +81,9 @@ def parse_args(argv=None) -> TrainConfig:
 def train(cfg: TrainConfig, *, max_chunks: int = 0) -> dict:
     """Run training. max_chunks > 0 truncates (for smoke tests). Returns a
     summary dict of the final state."""
+    cache = enable_compilation_cache()
+    if cache:
+        print(f"compilation cache: {cache}")
     os.makedirs(cfg.save_dir, exist_ok=True)
     logger = Logger(os.path.join(cfg.save_dir, "train.log"))
     stdout = sys.stdout

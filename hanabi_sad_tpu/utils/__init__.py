@@ -3,7 +3,12 @@ from hanabi_sad_tpu.utils.saver import TopkSaver
 from hanabi_sad_tpu.utils.counters import MultiCounter, ValueStats
 from hanabi_sad_tpu.utils.stopwatch import Stopwatch
 from hanabi_sad_tpu.utils.tachometer import Tachometer
-from hanabi_sad_tpu.utils.helper import set_all_seeds, generate_log_uniform, get_mem_usage
+from hanabi_sad_tpu.utils.helper import (
+    enable_compilation_cache,
+    generate_log_uniform,
+    get_mem_usage,
+    set_all_seeds,
+)
 from hanabi_sad_tpu.utils import belief
 from hanabi_sad_tpu.utils import asserts
 
@@ -17,5 +22,6 @@ __all__ = [
     "set_all_seeds",
     "generate_log_uniform",
     "get_mem_usage",
+    "enable_compilation_cache",
     "belief",
 ]

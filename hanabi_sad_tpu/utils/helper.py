@@ -39,3 +39,35 @@ def get_mem_usage() -> str:
     except OSError:
         pass
     return "rss: unknown"
+
+
+def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
+    """Enable JAX's persistent (on-disk) compilation cache.
+
+    First compiles of the train chunk / eval graph on the remote chip cost
+    minutes per process; the reference has no analogous cost (TorchScript
+    loads instantly) so parity on startup latency needs this. Opt out with
+    HANABI_SAD_TPU_NO_COMPILE_CACHE=1; override the location with
+    HANABI_SAD_TPU_COMPILE_CACHE. Returns the cache dir, or None if disabled
+    or unsupported by the installed jax. Imports jax lazily so that merely
+    importing the package stays backend-free.
+    """
+    if os.environ.get("HANABI_SAD_TPU_NO_COMPILE_CACHE"):
+        return None
+    import jax
+
+    cache_dir = cache_dir or os.environ.get(
+        "HANABI_SAD_TPU_COMPILE_CACHE",
+        os.path.join(
+            os.path.expanduser("~"), ".cache", "hanabi_sad_tpu", "jax_cache"
+        ),
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # Cache everything that took >1s to compile (default threshold skips
+        # more); small graphs recompile fast anyway.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except (AttributeError, ValueError, OSError):
+        return None
+    return cache_dir
