@@ -25,7 +25,7 @@ Observations are stored bitpacked (see bitpack.py).
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -208,6 +208,12 @@ def update_priority(
     state: ReplayState, cfg: ReplayConfig, idx: jnp.ndarray, priority: jnp.ndarray
 ) -> ReplayState:
     """Learner feedback: weight[idx] = priority^alpha (prioritized_replay.h:242-257).
-    Duplicate indices resolve to one of the writes (matching the reference's
-    sequential overwrite of dupes)."""
+
+    Duplicate indices (stratified sampling can return the same episode twice)
+    scatter in unspecified order, but the duplicate writes always carry
+    identical values: duplicate rows of the sampled batch are bit-identical
+    inputs, and the per-row TD-error compute is deterministic, so every write
+    to a given slot is the same number and the order is immaterial. (The
+    reference resolves dupes by sequential overwrite, prioritized_replay.h:
+    242-257 — same outcome for the same reason.)"""
     return state._replace(weight=state.weight.at[idx].set(jnp.power(priority, cfg.alpha)))

@@ -48,9 +48,6 @@ def render(normed: np.ndarray, labels=IDX2ACTION) -> str:
 
 
 def main(argv=None):
-    from hanabi_sad_tpu.utils import enable_compilation_cache
-
-    enable_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--weight", required=True, type=str)
     parser.add_argument("--num_game", default=1000, type=int)
@@ -58,6 +55,10 @@ def main(argv=None):
     parser.add_argument("--num_player", default=2, type=int)
     parser.add_argument("--out", default=None, type=str, help="write matrix text/npy")
     args = parser.parse_args(argv)
+    # After parse_args so `--help` neither imports jax nor creates cache dirs.
+    from hanabi_sad_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
 
     policy = loaders.load_any(args.weight)
     policies = [policy] * args.num_player

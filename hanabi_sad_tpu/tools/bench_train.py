@@ -22,9 +22,6 @@ from hanabi_sad_tpu.train.config import make_config
 
 
 def main(argv=None):
-    from hanabi_sad_tpu.utils import enable_compilation_cache
-
-    enable_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--preset", default="sad_2p")
     parser.add_argument("--num_envs", type=int, default=1024)
@@ -36,6 +33,10 @@ def main(argv=None):
     parser.add_argument("--use_pallas_replay", type=int, default=0)
     parser.add_argument("--reps", type=int, default=3)
     args = parser.parse_args(argv)
+    # After parse_args so `--help` neither imports jax nor creates cache dirs.
+    from hanabi_sad_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
 
     cfg = make_config(
         args.preset,

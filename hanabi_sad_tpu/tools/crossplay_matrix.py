@@ -49,9 +49,6 @@ def render(scores: np.ndarray, names) -> str:
 
 
 def main(argv=None):
-    from hanabi_sad_tpu.utils import enable_compilation_cache
-
-    enable_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--weights", nargs="+", required=True)
     parser.add_argument("--num_game", default=1000, type=int)
@@ -59,6 +56,10 @@ def main(argv=None):
     parser.add_argument("--bomb", default=0, type=int)
     parser.add_argument("--out", default=None, type=str)
     args = parser.parse_args(argv)
+    # After parse_args so `--help` neither imports jax nor creates cache dirs.
+    from hanabi_sad_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
 
     policies = [loaders.load_any(w) for w in args.weights]
     names = [w.rsplit("/", 1)[-1] for w in args.weights]

@@ -38,9 +38,6 @@ def evaluate_agents(policies, num_game, seed, bomb, num_run=1, verbose=True):
 
 
 def main(argv=None):
-    from hanabi_sad_tpu.utils import enable_compilation_cache
-
-    enable_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--paper", default="sad", type=str, help="sad/op/obl")
     parser.add_argument("--num_game", default=5000, type=int)
@@ -60,6 +57,10 @@ def main(argv=None):
     # obl
     parser.add_argument("--obl_path", default=None, type=str)
     args = parser.parse_args(argv)
+    # After parse_args so `--help` neither imports jax nor creates cache dirs.
+    from hanabi_sad_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
 
     if args.paper == "sad":
         assert args.weight, "--weight required"

@@ -64,10 +64,16 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
     )
     try:
         os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # Set the threshold first: if either update raises (older jax), the
+        # cache dir is still unset and the None return matches actual state.
         # Cache everything that took >1s to compile (default threshold skips
         # more); small graphs recompile fast anyway.
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
     except (AttributeError, ValueError, OSError):
+        try:
+            jax.config.update("jax_compilation_cache_dir", None)
+        except (AttributeError, ValueError):
+            pass
         return None
     return cache_dir

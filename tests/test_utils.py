@@ -157,3 +157,43 @@ class TestAsserts:
         asserts.assert_zero_grad({"w": g})
         with pytest.raises(AssertionError):
             asserts.assert_zero_grad({"w": jnp.ones((2,))})
+
+
+class TestCompilationCache:
+    """enable_compilation_cache env-var behavior (utils/helper.py:44-80)."""
+
+    def test_opt_out_env_var(self, monkeypatch):
+        from hanabi_sad_tpu.utils.helper import enable_compilation_cache
+
+        monkeypatch.setenv("HANABI_SAD_TPU_NO_COMPILE_CACHE", "1")
+        assert enable_compilation_cache() is None
+
+    def test_env_var_override(self, monkeypatch, tmp_path):
+        import jax
+
+        from hanabi_sad_tpu.utils.helper import enable_compilation_cache
+
+        monkeypatch.delenv("HANABI_SAD_TPU_NO_COMPILE_CACHE", raising=False)
+        target = tmp_path / "override_cache"
+        monkeypatch.setenv("HANABI_SAD_TPU_COMPILE_CACHE", str(target))
+        try:
+            got = enable_compilation_cache()
+            assert got == str(target)
+            assert target.is_dir()
+            assert jax.config.jax_compilation_cache_dir == str(target)
+        finally:
+            jax.config.update("jax_compilation_cache_dir", None)
+
+    def test_default_dir_and_explicit_arg(self, monkeypatch, tmp_path):
+        import jax
+
+        from hanabi_sad_tpu.utils.helper import enable_compilation_cache
+
+        monkeypatch.delenv("HANABI_SAD_TPU_NO_COMPILE_CACHE", raising=False)
+        monkeypatch.delenv("HANABI_SAD_TPU_COMPILE_CACHE", raising=False)
+        explicit = tmp_path / "explicit"
+        try:
+            assert enable_compilation_cache(str(explicit)) == str(explicit)
+            assert explicit.is_dir()
+        finally:
+            jax.config.update("jax_compilation_cache_dir", None)
