@@ -1,0 +1,256 @@
+"""Differential validation of the JAX engine + canonical encoder against
+tests/hle_upstream_ref.py — a scalar transcription of the *upstream public*
+HLE semantics (canonical_encoders.cc / hanabi_state.cc), independent of both
+the JAX implementation and the repo's clean-room C++ oracle.
+
+Covers, per step of full playouts: the complete per-player observation bit
+vector (hands / board / discards / last-action / knowledge sections), the
+legal-move mask, and the core scalars (fireworks, info, life, terminal).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hanabi_sad_tpu.game import GameConfig, encoder
+from hanabi_sad_tpu.game.engine import apply_move
+from hanabi_sad_tpu.game.moves import decode_uid, legal_moves_all
+from hanabi_sad_tpu.game.state import full_deck, new_game
+
+from hle_upstream_ref import UpstreamHanabiState
+
+
+def make_pair(cfg: GameConfig, deck_codes):
+    """Construct the same fixed-deck game in both implementations."""
+    up = UpstreamHanabiState(
+        deck_codes,
+        players=cfg.players,
+        hand_size=cfg.hand_size,
+        num_colors=cfg.num_colors,
+        num_ranks=cfg.num_ranks,
+        max_info=cfg.max_info_tokens,
+        max_life=cfg.max_life_tokens,
+    )
+    state = new_game(cfg, jax.random.PRNGKey(0))
+    deck = jnp.asarray(deck_codes, dtype=jnp.int32)
+    hands = deck[: cfg.players * cfg.hand_size].reshape(cfg.players, cfg.hand_size)
+    state = state._replace(deck=deck, hands=hands)
+    return up, state
+
+
+def jitted_fns(cfg: GameConfig):
+    ident = jnp.arange(cfg.num_colors, dtype=jnp.int32)
+
+    @jax.jit
+    def obs_all(state):
+        enc = lambda p: encoder.encode_observation(cfg, state, jnp.asarray(p), ident)
+        return jnp.stack([enc(p) for p in range(cfg.players)])
+
+    @jax.jit
+    def legal(state):
+        return legal_moves_all(cfg, state)
+
+    @jax.jit
+    def step(state, uid):
+        return apply_move(cfg, state, decode_uid(cfg, jnp.asarray(uid, jnp.int32)))
+
+    return obs_all, legal, step
+
+
+def compare_step(cfg, up, state, obs_all, legal):
+    obs = np.asarray(obs_all(state))
+    for p in range(cfg.players):
+        expected = up.encode(p)
+        diff = np.flatnonzero(obs[p] != expected)
+        assert diff.size == 0, (
+            f"observer {p}: {diff.size} differing bits at {diff[:20]} "
+            f"(jax={obs[p][diff[:20]]}, upstream={expected[diff[:20]]})"
+        )
+    legal_jax = np.asarray(legal(state))
+    up_legal = set(up.legal_uids())
+    cur = up.cur_player
+    noop_only = {up.max_moves}
+    for p in range(cfg.players):
+        got = set(np.flatnonzero(legal_jax[p]).tolist())
+        want = up_legal if p == cur else noop_only
+        assert got == want, f"player {p} legal mask: got {sorted(got)} want {sorted(want)}"
+    assert int(state.info) == up.info
+    assert int(state.life) == up.life
+    assert np.asarray(state.fireworks).tolist() == up.fireworks
+
+
+def run_differential(cfg, deck_codes, pick_uid, max_steps=200):
+    """Drive both implementations with the same moves; compare every step."""
+    up, state = make_pair(cfg, deck_codes)
+    obs_all, legal, step = jitted_fns(cfg)
+    compare_step(cfg, up, state, obs_all, legal)
+    steps = 0
+    while not up.is_terminal() and steps < max_steps:
+        uid = pick_uid(up)
+        up.apply_uid(uid)
+        state = step(state, uid)
+        steps += 1
+        assert bool(state.terminal) == up.is_terminal(), f"terminal @ step {steps}"
+        if not up.is_terminal():
+            compare_step(cfg, up, state, obs_all, legal)
+        else:
+            # Post-terminal scalars still agree (the obs is never consumed).
+            assert np.asarray(state.fireworks).tolist() == up.fireworks
+            assert int(state.life) == up.life
+    assert up.is_terminal(), "playout did not terminate"
+    return steps
+
+
+class TestRandomPlayouts:
+    """Random legal playouts to terminal, exact per-step obs/legal parity."""
+
+    @pytest.mark.parametrize(
+        "players,hand_size,seed",
+        [(2, 5, 0), (2, 5, 1), (2, 5, 2), (3, 5, 3), (4, 4, 4), (5, 4, 5)],
+    )
+    def test_full_game_parity(self, players, hand_size, seed):
+        cfg = GameConfig(players=players, hand_size=hand_size)
+        rng = np.random.RandomState(seed)
+        deck = rng.permutation(np.asarray(full_deck(cfg)))
+
+        def pick(up):
+            # Random play bombs out in ~3 moves; bias 70% toward non-play
+            # moves so playouts run long enough to exercise hints, discards,
+            # draws, and the deck thermometer.
+            legal = sorted(up.legal_uids())
+            H = cfg.hand_size
+            non_play = [u for u in legal if not (H <= u < 2 * H)]
+            if non_play and rng.rand() < 0.7:
+                return int(rng.choice(non_play))
+            return int(rng.choice(legal))
+
+        steps = run_differential(cfg, deck, pick)
+        assert steps > 5  # a real game happened
+
+
+class TestScriptedStackCompletion:
+    """Force the rare path random play misses: completing a color stack, which
+    must set BOTH trailing last-action bits (scored + regained info token —
+    canonical_encoders.cc writes them only for play moves)."""
+
+    def test_play_out_color_zero(self):
+        cfg = GameConfig(players=2, hand_size=5)
+        # p0 holds R1..R5 (codes 0..4); p1 holds junk of color 1; p0's draws
+        # after each play are color-0 duplicates so p1's color-0 hint stays
+        # legal throughout.
+        deck = [0, 1, 2, 3, 4] + [5, 5, 5, 6, 6] + [0, 0, 1, 2, 3]
+        rest = np.asarray(full_deck(cfg)).tolist()
+        for c in deck:
+            rest.remove(c)
+        deck = deck + rest
+        up, state = make_pair(cfg, deck)
+        obs_all, legal, step = jitted_fns(cfg)
+
+        rc_color0 = 2 * cfg.hand_size  # reveal-color, offset 1, color 0
+        play0 = cfg.hand_size  # play slot 0
+        for round_idx in range(5):
+            for uid in (play0, rc_color0):
+                compare_step(cfg, up, state, obs_all, legal)
+                up.apply_uid(uid)
+                state = step(state, uid)
+        compare_step(cfg, up, state, obs_all, legal)
+
+        assert up.fireworks[0] == 5
+        # After the 5th play (before p1's 5th hint), the last-action block of
+        # the post-play state had scored=1 and info_token=1; re-derive by
+        # replaying: check the history item directly.
+        assert up.last_move.move_type == "reveal_color"  # latest move
+        # Regained token: 4 hints spent before the completing play -> info was
+        # 4 < 8, so the completion must have added one back.
+        assert up.info == 8 - 5 + 1
+
+    def test_scored_and_token_bits_in_obs(self):
+        """Observe the state right after the completing play: the two trailing
+        last-action bits must both be set, and for a plain successful play
+        only the scored bit."""
+        cfg = GameConfig(players=2, hand_size=5)
+        deck = [0, 1, 2, 3, 4] + [5, 5, 5, 6, 6] + [0, 0, 1, 2, 3]
+        rest = np.asarray(full_deck(cfg)).tolist()
+        for c in deck:
+            rest.remove(c)
+        deck = deck + rest
+        up, state = make_pair(cfg, deck)
+        obs_all, legal, step = jitted_fns(cfg)
+
+        la_off = (
+            cfg.players * cfg.hand_size * 25
+            + cfg.players
+            + (50 - cfg.players * cfg.hand_size)
+            + 25
+            + cfg.max_info_tokens
+            + cfg.max_life_tokens
+            + 50
+        )
+        la_len = 2 * cfg.players + 4 + 5 + 5 + 2 * cfg.hand_size + 25 + 2
+        scored_bit = la_off + la_len - 2
+        token_bit = la_off + la_len - 1
+
+        rc_color0 = 2 * cfg.hand_size
+        play0 = cfg.hand_size
+        for round_idx in range(5):
+            up.apply_uid(play0)
+            state = step(state, play0)
+            compare_step(cfg, up, state, obs_all, legal)
+            obs = np.asarray(obs_all(state))
+            assert obs[0][scored_bit] == 1 and obs[1][scored_bit] == 1
+            expect_token = 1.0 if round_idx == 4 else 0.0  # only the 5 completes
+            assert obs[0][token_bit] == expect_token
+            assert obs[1][token_bit] == expect_token
+            if round_idx < 4:
+                up.apply_uid(rc_color0)
+                state = step(state, rc_color0)
+
+
+class TestScriptedEdgeCases:
+    def test_failed_play_no_bits_life_drop(self):
+        cfg = GameConfig(players=2, hand_size=5)
+        # p0 slot 0 is a rank-2 card (code 1): playing it on an empty stack fails.
+        deck = [1, 1, 2, 3, 4] + [5, 5, 5, 6, 6]
+        rest = np.asarray(full_deck(cfg)).tolist()
+        for c in deck:
+            rest.remove(c)
+        deck = deck + rest
+        up, state = make_pair(cfg, deck)
+        obs_all, legal, step = jitted_fns(cfg)
+
+        play0 = cfg.hand_size
+        up.apply_uid(play0)
+        state = step(state, play0)
+        compare_step(cfg, up, state, obs_all, legal)
+        assert up.life == 2
+        assert up.discard_pile == [1]  # failed play lands in the discard pile
+
+    def test_deck_exhaustion_countdown(self):
+        """Exactly P moves happen after the deck empties."""
+        cfg = GameConfig(players=2, hand_size=5)
+        rng = np.random.RandomState(7)
+        deck = rng.permutation(np.asarray(full_deck(cfg)))
+        up, state = make_pair(cfg, deck)
+        obs_all, legal, step = jitted_fns(cfg)
+
+        # Alternate discard/hint so no lives are ever lost and the game can
+        # only end by exhaustion (hint when discard illegal at max info).
+        moves_after_empty = 0
+        steps = 0
+        while not up.is_terminal() and steps < 300:
+            deck_empty = up.cursor >= len(up.deck)
+            legal_set = up.legal_uids()
+            uid = 0 if 0 in legal_set else sorted(legal_set)[-1]
+            if 0 not in legal_set:  # max info: hint instead
+                uid = next(u for u in sorted(legal_set) if u >= 2 * cfg.hand_size)
+            up.apply_uid(uid)
+            state = step(state, uid)
+            steps += 1
+            if deck_empty:
+                moves_after_empty += 1
+            if not up.is_terminal():
+                compare_step(cfg, up, state, obs_all, legal)
+        assert up.is_terminal() and up.life > 0
+        assert moves_after_empty == cfg.players
+        assert bool(state.terminal)
