@@ -1,14 +1,22 @@
-"""Headline benchmark: Hanabi env-steps/s on one chip.
+"""Headline benchmark: LIVE Hanabi env-steps/s on one chip.
 
 Measures the jitted vectorized 2-player env rollout with a random legal
 policy (BASELINE.json config: "vectorized 2p env rollout, random legal
 policy"), the direct counterpart of the reference's C++ actor throughput
 (80 threads x 80 games, SURVEY.md §6). Baseline target: 1M env-steps/s/chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Every counted frame is a real game frame: the rollout uses step_autoreset
+(the production continuous path), so an env that finishes an episode is
+immediately re-dealt instead of spinning frozen no-op frames until the chunk
+ends. The older fixed-horizon variant (step without reset; counts padded
+frames after bomb-out) is reported alongside as "padded_steps_per_s" for
+continuity with round-1 numbers.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 
 import json
+import sys
 import time
 
 import jax
@@ -17,7 +25,7 @@ import jax.numpy as jnp
 
 def main():
     from hanabi_sad_tpu.game import GameConfig
-    from hanabi_sad_tpu.game.env import EnvConfig, reset, step
+    from hanabi_sad_tpu.game.env import EnvConfig, reset, step, step_autoreset
 
     cfg = EnvConfig(
         game=GameConfig(players=2), eps_list=(0.1,), max_len=80, sad=True
@@ -32,7 +40,27 @@ def main():
         return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
     @jax.jit
-    def rollout_chunk(keys, act_key):
+    def rollout_live(keys, act_key):
+        env_state, obs = jax.vmap(lambda k: reset(cfg, k))(keys)
+
+        def body(carry, k):
+            env_state, obs, n_done, score_sum = carry
+            a = pick(k, obs["legal_move"])
+            env_state, obs, r, d, sc = jax.vmap(
+                lambda s, aa: step_autoreset(cfg, s, aa)
+            )(env_state, {"a": a, "greedy_a": a})
+            n_done = n_done + d.sum(dtype=jnp.int32)
+            score_sum = score_sum + jnp.where(d, sc, 0).sum(dtype=jnp.int32)
+            return (env_state, obs, n_done, score_sum), None
+
+        init = (env_state, obs, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
+        (env_state, _, n_done, score_sum), _ = jax.lax.scan(
+            init=init, xs=jax.random.split(act_key, T), f=body
+        )
+        return n_done, score_sum
+
+    @jax.jit
+    def rollout_padded(keys, act_key):
         env_state, obs = jax.vmap(lambda k: reset(cfg, k))(keys)
 
         def body(carry, k):
@@ -51,24 +79,39 @@ def main():
     import numpy as np
 
     keys = jax.random.split(jax.random.PRNGKey(0), N)
-    # compile + warmup; materialize on host so async dispatch can't fake speed
-    np.asarray(rollout_chunk(keys, jax.random.PRNGKey(1)))
-
     reps = 5
+
+    # --- live (auto-reset) rollout: the headline ---
+    np.asarray(rollout_live(keys, jax.random.PRNGKey(1)))  # compile + warmup
     t0 = time.perf_counter()
     for i in range(reps):
-        out = rollout_chunk(keys, jax.random.PRNGKey(2 + i))
-    np.asarray(out)
+        out = rollout_live(keys, jax.random.PRNGKey(2 + i))
+    n_done, score_sum = (np.asarray(x) for x in out)
     dt = time.perf_counter() - t0
+    live_steps_per_s = reps * N * T / dt
+    if n_done > 0:
+        print(
+            f"live rollout: {int(n_done)} episodes/chunk, "
+            f"mean random-play score {score_sum / n_done:.2f}",
+            file=sys.stderr,
+        )
 
-    steps_per_s = reps * N * T / dt
+    # --- fixed-horizon (padded) rollout: round-1 continuity ---
+    np.asarray(rollout_padded(keys, jax.random.PRNGKey(1)))
+    t0 = time.perf_counter()
+    for i in range(reps):
+        out = rollout_padded(keys, jax.random.PRNGKey(2 + i))
+    np.asarray(out)
+    padded_steps_per_s = reps * N * T / (time.perf_counter() - t0)
+
     print(
         json.dumps(
             {
-                "metric": "hanabi_env_steps_per_s_per_chip",
-                "value": round(steps_per_s),
+                "metric": "hanabi_live_env_steps_per_s_per_chip",
+                "value": round(live_steps_per_s),
                 "unit": "env-steps/s",
-                "vs_baseline": round(steps_per_s / 1_000_000, 3),
+                "vs_baseline": round(live_steps_per_s / 1_000_000, 3),
+                "padded_steps_per_s": round(padded_steps_per_s),
             }
         )
     )

@@ -47,6 +47,34 @@ def render(normed: np.ndarray, labels=IDX2ACTION) -> str:
     return "\n".join(lines)
 
 
+def plot_heatmap(normed: np.ndarray, path: str, labels=IDX2ACTION):
+    """Matplotlib heatmap of P(next action | prev action) — parity with the
+    reference's figure output (pyhanabi/tools/action_matrix.py:95-107).
+    Headless-safe (Agg); silently skips if matplotlib is unavailable."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        print("matplotlib unavailable; skipping heatmap")
+        return
+    k = len(labels)
+    fig, ax = plt.subplots(figsize=(10, 8))
+    im = ax.imshow(normed[:k, :k], cmap="viridis", vmin=0.0)
+    ax.set_xticks(range(k))
+    ax.set_yticks(range(k))
+    ax.set_xticklabels(labels, rotation=90, fontsize=8)
+    ax.set_yticklabels(labels, fontsize=8)
+    ax.set_xlabel("next action")
+    ax.set_ylabel("previous action")
+    fig.colorbar(im, ax=ax, fraction=0.046, pad=0.04)
+    fig.tight_layout()
+    fig.savefig(path, dpi=150)
+    plt.close(fig)
+    print("heatmap saved to", path)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--weight", required=True, type=str)
@@ -75,6 +103,7 @@ def main(argv=None):
         with open(args.out, "w") as f:
             f.write(text + "\n")
         np.save(args.out + ".npy", counts)
+        plot_heatmap(normed, args.out + ".png")
         print("saved to", args.out)
     return normed, counts
 
