@@ -272,6 +272,46 @@ def split_players(ep: AssembledEpisodes) -> AssembledEpisodes:
     )
 
 
+def exact_episode_priorities(
+    params: AgentParams,
+    agent_cfg: AgentConfig,
+    replay_cfg: ReplayConfig,
+    episodes: AssembledEpisodes,
+    n_step_r: jnp.ndarray,
+    bootstrap: jnp.ndarray,
+) -> jnp.ndarray:
+    """Reference-exact initial priorities for continuous-mode episodes
+    (--continuous_exact_priority): the online-target TD error of
+    compute_priority (reference r2d2.py:344-348), via
+    compute_priority_from_rollout — a target-net zero-h0 full-sequence
+    forward over the assembled slots; the online side reuses the rollout's
+    own Q values. Costs one extra target forward over [T, M] rows per chunk
+    (invalid slots included — their priorities are discarded by add_packed's
+    valid mask)."""
+    from hanabi_sad_tpu.replay.bitpack import unpack_bits
+
+    M, T, Pi = episodes.action.shape
+    bits = unpack_bits(episodes.packed, replay_cfg.bits_per_step)  # [M,T,Pi,bits]
+    F, A = replay_cfg.obs_dim, replay_cfg.num_actions
+    tm = lambda x: jnp.swapaxes(x, 0, 1)  # [M, T, ...] -> [T, M, ...]
+    seq_len = jnp.maximum(episodes.seq_len, 1.0)
+    t_idx = jnp.arange(T, dtype=jnp.float32)[:, None]
+    batch = r2d2_agent.Batch(
+        priv_s=tm(bits[..., :F]),
+        legal_move=tm(bits[..., F : F + A]),
+        action=tm(episodes.action),
+        own_hand=tm(bits[..., F + A :]),
+        reward=tm(n_step_r),
+        terminal=(t_idx >= (seq_len[None, :] - 1)).astype(jnp.float32),
+        bootstrap=tm(bootstrap),
+        seq_len=seq_len,
+    )
+    qa = episodes.qa.sum(-1) if agent_cfg.vdn else episodes.qa[..., 0]  # [M, T]
+    return r2d2_agent.compute_priority_from_rollout(
+        params, agent_cfg, batch, tm(qa), tm(episodes.greedy)
+    )
+
+
 def episode_priorities(
     episodes: AssembledEpisodes, agent_cfg: AgentConfig
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:

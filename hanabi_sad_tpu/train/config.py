@@ -72,6 +72,11 @@ class TrainConfig:
     # every step is a live frame; episodes are re-assembled from the stream.
     rollout_mode: str = "aligned"
     slots_per_env: int = 4  # continuous mode: completed-episode slots/env/chunk
+    # Continuous mode: compute initial priorities with a target-net forward
+    # over the assembled episodes (the reference's online-target
+    # compute_priority, r2d2.py:344-348) instead of the cheap online-online
+    # approximation from the rollout's own Q values.
+    continuous_exact_priority: bool = False
     num_eval_game: int = 1000
     eval_max_steps: int = 128  # > longest possible game; eval has no forced cap
     eval_freq_epochs: int = 1

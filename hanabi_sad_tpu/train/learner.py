@@ -262,6 +262,10 @@ def collect_into_replay(setup: Setup, state: TrainState):
         n_step_r, bootstrap, priority = continuous.episode_priorities(
             episodes, setup.agent
         )
+        if cfg.continuous_exact_priority:
+            priority = continuous.exact_episode_priorities(
+                state.params, setup.agent, setup.replay, episodes, n_step_r, bootstrap
+            )
         replay = replay_mod.add_packed(
             state.replay, setup.replay, episodes.packed, episodes.action,
             n_step_r, bootstrap, episodes.seq_len, priority, valid=episodes.valid,

@@ -266,3 +266,70 @@ class TestContinuousTraining:
         state, _ = learner.make_collect_only(setup)(state)
         state, metrics = learner.make_train_chunk(setup)(state)
         assert np.isfinite(float(metrics["loss"]))
+
+
+class TestExactPriority:
+    def test_matches_online_online_when_greedy_and_synced(self, tmp_path):
+        """With eps=0 (taken action == greedy) and target == online (fresh
+        init), the exact online-target priority must equal the online-online
+        approximation: the rollout's carried hiddens coincide with the
+        zero-h0 full-sequence hiddens for assembled episodes."""
+        cfg = make_config(
+            "dev",
+            save_dir=str(tmp_path),
+            rollout_mode="continuous",
+            num_envs=8,
+            burn_in_frames=8,
+            replay_buffer_size=128,
+            max_len=16,
+            rnn_hid_dim=32,
+            num_eps=2,
+            act_base_eps=0.0,
+            compute_dtype="float32",
+        )
+        setup = learner.make_setup(cfg)
+        state = learner.init_train_state(setup, jax.random.PRNGKey(0))
+        for _ in range(2):  # second chunk exercises carry-glued episodes
+            env_key, k_act = jax.random.split(state.env_key)
+            actor, stream = continuous.run_continuous_chunk(
+                state.params, setup.agent, setup.env, state.actor, k_act, cfg.max_len
+            )
+            actor, episodes = continuous.assemble_episodes(
+                actor, stream, cfg.slots_per_env
+            )
+            state = state._replace(actor=actor, env_key=env_key)
+            if not setup.train.vdn:
+                episodes = continuous.split_players(episodes)
+            n_step_r, bootstrap, approx = continuous.episode_priorities(
+                episodes, setup.agent
+            )
+            exact = continuous.exact_episode_priorities(
+                state.params, setup.agent, setup.replay, episodes, n_step_r, bootstrap
+            )
+            valid = np.asarray(episodes.valid)
+            assert valid.any()
+            np.testing.assert_allclose(
+                np.asarray(exact)[valid], np.asarray(approx)[valid],
+                rtol=1e-4, atol=1e-5,
+            )
+
+    def test_train_chunk_with_exact_priority(self, tmp_path):
+        cfg = make_config(
+            "dev",
+            save_dir=str(tmp_path),
+            rollout_mode="continuous",
+            continuous_exact_priority=True,
+            num_envs=8,
+            num_update_per_chunk=2,
+            batchsize=4,
+            burn_in_frames=8,
+            replay_buffer_size=128,
+            max_len=16,
+            rnn_hid_dim=32,
+            num_eps=4,
+        )
+        setup = learner.make_setup(cfg)
+        state = learner.init_train_state(setup, jax.random.PRNGKey(0))
+        state, _ = learner.make_collect_only(setup)(state)
+        state, metrics = learner.make_train_chunk(setup)(state)
+        assert np.isfinite(float(metrics["loss"]))
