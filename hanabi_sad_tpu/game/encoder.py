@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from hanabi_sad_tpu.game import tpuops
 from hanabi_sad_tpu.game.config import CARDS_PER_RANK, GameConfig
 from hanabi_sad_tpu.game.moves import Move
 from hanabi_sad_tpu.game.state import (
@@ -39,9 +40,10 @@ F32 = jnp.float32
 
 
 def _permute_color_idx(color: jnp.ndarray, perm: jnp.ndarray) -> jnp.ndarray:
-    """Displayed color index for a true color (perm[c]); -1 passes through."""
-    safe = jnp.clip(color, 0, perm.shape[-1] - 1)
-    return jnp.where(color >= 0, perm[safe], color)
+    """Displayed color index for a true color (perm[c]); -1 passes through.
+    One-hot contraction, not a gather — this line was the single hottest op
+    of the round-2 rollout profile (219 us/step on the scalar core)."""
+    return jnp.where(color >= 0, tpuops.take_vec(perm, color), color)
 
 
 def _card_onehot(cfg: GameConfig, card: jnp.ndarray, perm: jnp.ndarray) -> jnp.ndarray:
@@ -75,9 +77,9 @@ def encode_hands(
     (cpp/hanabi_env.cc:134-143 samples this per encode)."""
     P, H = cfg.players, cfg.hand_size
     rel = (observer + jnp.arange(P, dtype=jnp.int32)) % P  # absolute seat per rel slot
-    hands = state.hands[rel]  # [P, H]
+    hands = tpuops.take_rows(state.hands, rel)  # [P, H]
     if hand_shuffle is not None:
-        shuffled = hands[1][hand_shuffle]
+        shuffled = tpuops.take_rows(hands[1], hand_shuffle)
         hands = hands.at[1].set(shuffled)
     onehots = _card_onehot(cfg, hands, perm)  # [P, H, 25]
     own = jnp.arange(P) == 0  # rel slot 0 is the observer
@@ -92,8 +94,7 @@ def encode_board(cfg: GameConfig, state: GameState, perm: jnp.ndarray) -> jnp.nd
     deck_size = cfg.deck_size - state.deck_ptr
     deck_bits = _thermometer(deck_size, cfg.deck_size - P * H)
     # Fireworks: per displayed color, one-hot of (height - 1); height 0 = zeros.
-    inv = jnp.argsort(perm)  # displayed d shows true color inv[d]
-    fw = state.fireworks[inv]  # [C] heights by displayed color
+    fw = tpuops.permute_last(state.fireworks, perm)  # [C] heights by displayed color
     fw_bits = (
         (jnp.arange(R, dtype=jnp.int32)[None, :] == (fw[:, None] - 1)).astype(F32).reshape(-1)
     )
@@ -105,8 +106,9 @@ def encode_board(cfg: GameConfig, state: GameState, perm: jnp.ndarray) -> jnp.nd
 def encode_discards(cfg: GameConfig, state: GameState, perm: jnp.ndarray) -> jnp.ndarray:
     """Per displayed color, per rank, a thermometer over that rank's copy
     count (3/2/2/2/1 bits)."""
-    inv = jnp.argsort(perm)
-    counts = state.discards[inv]  # [C, R] by displayed color
+    counts = jnp.moveaxis(
+        tpuops.permute_last(jnp.moveaxis(state.discards, 0, -1), perm), -1, 0
+    )  # [C, R] by displayed color
     bits = []
     for r, copies in enumerate(CARDS_PER_RANK[: cfg.num_ranks]):
         bits.append(
@@ -160,7 +162,9 @@ def encode_last_action(
     if hand_shuffle is not None:
         # Displayed reveal slot j reflects true slot hand_shuffle[j] when the
         # hint target is the partner (relative player 1).
-        reveal_bits = jnp.where(rel_target == 1, reveal_bits[hand_shuffle], reveal_bits)
+        reveal_bits = jnp.where(
+            rel_target == 1, tpuops.take_rows(reveal_bits, hand_shuffle), reveal_bits
+        )
 
     is_pd = (last.move_type == PLAY) | (last.move_type == DISCARD)
     pos_bits = ((jnp.arange(H) == last.position) & is_pd).astype(F32)
@@ -204,19 +208,18 @@ def encode_knowledge(
     same displayed order as the hands section."""
     P = cfg.players
     rel = (observer + jnp.arange(P, dtype=jnp.int32)) % P
-    occupied = (state.hands[rel] >= 0)[..., None]  # [P, H, 1]
+    occupied = (tpuops.take_rows(state.hands, rel) >= 0)[..., None]  # [P, H, 1]
 
-    inv = jnp.argsort(perm)
-    cp = state.color_plausible[rel][..., inv]  # [P, H, C] displayed order
-    rp = state.rank_plausible[rel]  # [P, H, R]
-    ch = state.color_hinted[rel][..., inv]
-    rh = state.rank_hinted[rel]
+    cp = tpuops.permute_last(tpuops.take_rows(state.color_plausible, rel), perm)
+    rp = tpuops.take_rows(state.rank_plausible, rel)  # [P, H, R]
+    ch = tpuops.permute_last(tpuops.take_rows(state.color_hinted, rel), perm)
+    rh = tpuops.take_rows(state.rank_hinted, rel)
     if hand_shuffle is not None:
-        cp = cp.at[1].set(cp[1][hand_shuffle])
-        rp = rp.at[1].set(rp[1][hand_shuffle])
-        ch = ch.at[1].set(ch[1][hand_shuffle])
-        rh = rh.at[1].set(rh[1][hand_shuffle])
-        occupied = occupied.at[1].set(occupied[1][hand_shuffle])
+        cp = cp.at[1].set(tpuops.take_rows(cp[1], hand_shuffle))
+        rp = rp.at[1].set(tpuops.take_rows(rp[1], hand_shuffle))
+        ch = ch.at[1].set(tpuops.take_rows(ch[1], hand_shuffle))
+        rh = rh.at[1].set(tpuops.take_rows(rh[1], hand_shuffle))
+        occupied = occupied.at[1].set(tpuops.take_rows(occupied[1], hand_shuffle))
 
     plausible = (cp[..., :, None] & rp[..., None, :]).astype(F32)  # [P, H, C, R]
     plausible = plausible * occupied[..., None]
@@ -255,11 +258,11 @@ def encode_own_hand_trinary(cfg: GameConfig, state: GameState, player: jnp.ndarr
     {playable now, useless (rank already played), neither}; empty slots all
     zero — the zero row doubles as the slot mask (r2d2.py:430-441)."""
     R = cfg.num_ranks
-    hand = state.hands[player]  # [H]
+    hand = tpuops.take_row(state.hands, player)  # [H]
     occ = hand >= 0
     color = jnp.maximum(hand, 0) // R
     rank = jnp.maximum(hand, 0) % R
-    fw = state.fireworks[color]
+    fw = tpuops.take_vec(state.fireworks, color)
     playable = occ & (rank == fw)
     useless = occ & (rank < fw)
     neither = occ & ~playable & ~useless

@@ -23,6 +23,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from hanabi_sad_tpu.game import tpuops
 from hanabi_sad_tpu.game.config import GameConfig
 from hanabi_sad_tpu.game.moves import Move
 from hanabi_sad_tpu.game.state import (
@@ -58,22 +59,23 @@ def _remove_and_draw(
     keep = idx < H - 1
     shifted_valid = keep | (idx < pos)  # last slot only valid if pos == H (never)
 
-    hand = state.hands[player]
-    new_hand = jnp.where(shifted_valid, hand[src], -1)
+    hand = tpuops.take_row(state.hands, player)
+    new_hand = jnp.where(shifted_valid, tpuops.take_rows(hand, src), -1)
 
-    def shift_k(k):  # [H, D] knowledge arrays for this player
-        return jnp.where(shifted_valid[:, None], k[src], False)
+    def shift_k(k_all):  # [P, H, D] knowledge arrays; select player's, shift
+        k = tpuops.take_row(k_all, player)
+        return jnp.where(shifted_valid[:, None], tpuops.take_rows(k, src), False)
 
-    cp = shift_k(state.color_plausible[player])
-    rp = shift_k(state.rank_plausible[player])
-    ch = shift_k(state.color_hinted[player])
-    rh = shift_k(state.rank_hinted[player])
+    cp = shift_k(state.color_plausible)
+    rp = shift_k(state.rank_plausible)
+    ch = shift_k(state.color_hinted)
+    rh = shift_k(state.rank_hinted)
 
     # Draw: the hand is compact, so the first empty slot is old_size - 1.
     old_size = jnp.sum(hand >= 0, dtype=jnp.int32)
     draw_slot = old_size - 1
     can_draw = state.deck_ptr < cfg.deck_size
-    draw_card = state.deck[jnp.minimum(state.deck_ptr, cfg.deck_size - 1)]
+    draw_card = tpuops.take_vec(state.deck, jnp.minimum(state.deck_ptr, cfg.deck_size - 1))
     at_slot = idx == draw_slot
     new_hand = jnp.where(at_slot & can_draw, draw_card, new_hand)
     # Fresh knowledge for the drawn card.
@@ -86,18 +88,22 @@ def _remove_and_draw(
 
     # Gate by `do` and write back into the [P, H, ...] arrays.
     sel = do
-    hands = state.hands.at[player].set(jnp.where(sel, new_hand, hand))
-    color_plausible = state.color_plausible.at[player].set(
-        jnp.where(sel, cp, state.color_plausible[player])
+    hands = tpuops.put_row(state.hands, player, jnp.where(sel, new_hand, hand))
+    color_plausible = tpuops.put_row(
+        state.color_plausible, player,
+        jnp.where(sel, cp, tpuops.take_row(state.color_plausible, player)),
     )
-    rank_plausible = state.rank_plausible.at[player].set(
-        jnp.where(sel, rp, state.rank_plausible[player])
+    rank_plausible = tpuops.put_row(
+        state.rank_plausible, player,
+        jnp.where(sel, rp, tpuops.take_row(state.rank_plausible, player)),
     )
-    color_hinted = state.color_hinted.at[player].set(
-        jnp.where(sel, ch, state.color_hinted[player])
+    color_hinted = tpuops.put_row(
+        state.color_hinted, player,
+        jnp.where(sel, ch, tpuops.take_row(state.color_hinted, player)),
     )
-    rank_hinted = state.rank_hinted.at[player].set(
-        jnp.where(sel, rh, state.rank_hinted[player])
+    rank_hinted = tpuops.put_row(
+        state.rank_hinted, player,
+        jnp.where(sel, rh, tpuops.take_row(state.rank_hinted, player)),
     )
     deck_ptr = jnp.where(sel, new_deck_ptr, state.deck_ptr)
     return hands, color_plausible, rank_plausible, color_hinted, rank_hinted, deck_ptr
@@ -113,14 +119,18 @@ def move_outcome(cfg: GameConfig, state: GameState, move: Move) -> LastAction:
 
     is_pd = (move.move_type == PLAY) | (move.move_type == DISCARD)
     pos = jnp.clip(move.position, 0, cfg.hand_size - 1)
-    card = jnp.where(is_pd, state.hands[player, pos], -1)
+    card = jnp.where(is_pd, tpuops.take_vec(tpuops.take_row(state.hands, player), pos), -1)
     ccolor = jnp.maximum(card, 0) // R
     crank = jnp.maximum(card, 0) % R
 
-    scored = (move.move_type == PLAY) & (card >= 0) & (state.fireworks[ccolor] == crank)
+    scored = (
+        (move.move_type == PLAY)
+        & (card >= 0)
+        & (tpuops.take_vec(state.fireworks, ccolor) == crank)
+    )
     info_add = scored & (crank == R - 1) & (state.info < cfg.max_info_tokens)
 
-    t_hand = state.hands[target]
+    t_hand = tpuops.take_row(state.hands, target)
     t_occ = t_hand >= 0
     color_match = t_occ & (t_hand // R == move.color)
     rank_match = t_occ & (t_hand % R == move.rank)
@@ -169,11 +179,11 @@ def apply_move(cfg: GameConfig, state: GameState, move: Move) -> GameState:
     crank = jnp.maximum(card, 0) % R
     scored = last.scored
 
-    fireworks = state.fireworks.at[ccolor].add(jnp.where(scored, 1, 0))
+    fireworks = tpuops.add_at_vec(state.fireworks, ccolor, jnp.where(scored, 1, 0))
     life = state.life - jnp.where(is_play & (card >= 0) & ~scored, 1, 0)
     # Failed plays and discards go to the discard pile; successful plays don't.
     to_discard = (is_discard & (card >= 0)) | (is_play & (card >= 0) & ~scored)
-    discards = state.discards.at[ccolor, crank].add(jnp.where(to_discard, 1, 0))
+    discards = tpuops.add_at_2d(state.discards, ccolor, crank, jnp.where(to_discard, 1, 0))
     info = (
         state.info
         + jnp.where(is_discard, 1, 0)
@@ -193,13 +203,13 @@ def apply_move(cfg: GameConfig, state: GameState, move: Move) -> GameState:
 
     # --- hint knowledge updates on the target's hand ---
     target = (player + move.target_offset) % P
-    t_hand = state.hands[target]
+    t_hand = tpuops.take_row(state.hands, target)
     t_occ = t_hand >= 0
     colors_eye = jnp.arange(cfg.num_colors, dtype=jnp.int32)
     ranks_eye = jnp.arange(cfg.num_ranks, dtype=jnp.int32)
 
     c_match = t_occ & (t_hand // R == move.color)  # [H]
-    cp_t = color_plausible[target]
+    cp_t = tpuops.take_row(color_plausible, target)
     # touched: plausible collapses to the hinted color; untouched: hinted color
     # ruled out. Only occupied slots update.
     hint_col_onehot = colors_eye[None, :] == move.color  # [1, C] -> broadcast [H, C]
@@ -209,14 +219,15 @@ def apply_move(cfg: GameConfig, state: GameState, move: Move) -> GameState:
         cp_t & ~hint_col_onehot,
     )
     cp_new = jnp.where(t_occ[:, None], cp_new, cp_t)
-    ch_new = color_hinted[target] | (c_match[:, None] & hint_col_onehot)
-    color_plausible = color_plausible.at[target].set(jnp.where(is_rc, cp_new, cp_t))
-    color_hinted = color_hinted.at[target].set(
-        jnp.where(is_rc, ch_new, color_hinted[target])
+    ch_t = tpuops.take_row(color_hinted, target)
+    ch_new = ch_t | (c_match[:, None] & hint_col_onehot)
+    color_plausible = tpuops.put_row(
+        color_plausible, target, jnp.where(is_rc, cp_new, cp_t)
     )
+    color_hinted = tpuops.put_row(color_hinted, target, jnp.where(is_rc, ch_new, ch_t))
 
     r_match = t_occ & (t_hand % R == move.rank)
-    rp_t = rank_plausible[target]
+    rp_t = tpuops.take_row(rank_plausible, target)
     hint_rank_onehot = ranks_eye[None, :] == move.rank
     rp_new = jnp.where(
         r_match[:, None],
@@ -224,11 +235,12 @@ def apply_move(cfg: GameConfig, state: GameState, move: Move) -> GameState:
         rp_t & ~hint_rank_onehot,
     )
     rp_new = jnp.where(t_occ[:, None], rp_new, rp_t)
-    rh_new = rank_hinted[target] | (r_match[:, None] & hint_rank_onehot)
-    rank_plausible = rank_plausible.at[target].set(jnp.where(is_rr, rp_new, rp_t))
-    rank_hinted = rank_hinted.at[target].set(
-        jnp.where(is_rr, rh_new, rank_hinted[target])
+    rh_t = tpuops.take_row(rank_hinted, target)
+    rh_new = rh_t | (r_match[:, None] & hint_rank_onehot)
+    rank_plausible = tpuops.put_row(
+        rank_plausible, target, jnp.where(is_rr, rp_new, rp_t)
     )
+    rank_hinted = tpuops.put_row(rank_hinted, target, jnp.where(is_rr, rh_new, rh_t))
 
     # --- advance turn, check terminal ---
     cur_player = (player + 1) % P

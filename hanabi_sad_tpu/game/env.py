@@ -40,7 +40,7 @@ from typing import Dict, NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from hanabi_sad_tpu.game import encoder, moves
+from hanabi_sad_tpu.game import encoder, moves, tpuops
 from hanabi_sad_tpu.game.config import GameConfig
 from hanabi_sad_tpu.game.engine import apply_move, move_outcome
 from hanabi_sad_tpu.game.state import GameState, LastAction, empty_last_action, new_game, score
@@ -128,16 +128,16 @@ def observe(cfg: EnvConfig, state: EnvState) -> Obs:
 
     def _obs_for(p):
         shuf = None if shuffles is None else shuffles[p]
-        return encoder.encode_observation(g, state.game, p, state.color_perm[p], shuf)
+        perm = tpuops.take_row(state.color_perm, p)
+        return encoder.encode_observation(g, state.game, p, perm, shuf)
 
     priv = jax.vmap(_obs_for)(players)  # [P, obs_dim]
     if cfg.sad:
 
         def _sad_for(p):
             shuf = None if shuffles is None else shuffles[p]
-            return encoder.encode_last_action(
-                g, state.sad_record, p, state.color_perm[p], shuf
-            )
+            perm = tpuops.take_row(state.color_perm, p)
+            return encoder.encode_last_action(g, state.sad_record, p, perm, shuf)
 
         sad_block = jax.vmap(_sad_for)(players)
         priv = jnp.concatenate([priv, sad_block], axis=-1)
@@ -164,11 +164,12 @@ def reset(cfg: EnvConfig, key: jax.Array) -> Tuple[EnvState, Obs]:
     game = new_game(g, k_deck)
     eps_menu = jnp.asarray(cfg.eps_list, dtype=jnp.float32)
     eps_idx = jax.random.randint(k_eps, (g.players,), 0, len(cfg.eps_list))
+    player_eps = tpuops.take_vec(eps_menu, eps_idx)
     state = EnvState(
         game=game,
         num_step=jnp.asarray(0, dtype=jnp.int32),
         done=jnp.asarray(False),
-        player_eps=eps_menu[eps_idx],
+        player_eps=player_eps,
         color_perm=_sample_perms(g, k_perm, cfg.shuffle_color),
         sad_record=empty_last_action(g),
         key=k_next,
@@ -186,20 +187,26 @@ def step(cfg: EnvConfig, state: EnvState, action: Dict[str, jnp.ndarray]):
     cur = state.game.cur_player
     prev_score = score(state.game)
 
-    uid = action["a"][cur]
+    uid = tpuops.take_vec(action["a"], cur)
     move = moves.decode_uid(g, uid)
-    inv = jnp.argsort(state.color_perm[cur])
+    # Inverse color permutation on hint intake: inv[c] is the true color the
+    # agent's displayed color c refers to — inv[c] = argwhere(perm == c),
+    # computed as a one-hot contraction (no argsort + gather).
+    perm_cur = tpuops.take_row(state.color_perm, cur)
+    colors = jnp.arange(g.num_colors, dtype=jnp.int32)
+
+    def _inv_color(c):
+        return jnp.sum(jnp.where(perm_cur == c, colors, 0)).astype(jnp.int32)
+
     move = move._replace(
-        color=jnp.where(move.move_type == 2, inv[jnp.clip(move.color, 0, g.num_colors - 1)], move.color)
+        color=jnp.where(move.move_type == 2, _inv_color(move.color), move.color)
     )
 
     if cfg.sad:
-        greedy_uid = action["greedy_a"][cur]
+        greedy_uid = tpuops.take_vec(action["greedy_a"], cur)
         gmove = moves.decode_uid(g, greedy_uid)
         gmove = gmove._replace(
-            color=jnp.where(
-                gmove.move_type == 2, inv[jnp.clip(gmove.color, 0, g.num_colors - 1)], gmove.color
-            )
+            color=jnp.where(gmove.move_type == 2, _inv_color(gmove.color), gmove.color)
         )
         sad_record = move_outcome(g, state.game, gmove)
         # Freeze the record while done (padding steps).
