@@ -25,3 +25,8 @@ run op_b    --preset op_2p --seed 404
 run auxop_b --preset sad_aux_op_2p --seed 606
 run aux_b   --preset sad_2p --pred_weight 0.25 --seed 808
 echo "zoo complete"
+
+# Continuous-priority A/B (VERDICT weak #4): same run +- exact priorities.
+run prio_approx --preset iql_2p --seed 909
+run prio_exact  --preset iql_2p --seed 909 --continuous_exact_priority 1
+echo "prio A/B complete"
