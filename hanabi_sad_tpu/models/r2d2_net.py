@@ -31,11 +31,6 @@ class NetConfig:
     # float32; bfloat16 compute feeds the MXU at 2x and halves HBM traffic.
     # Heads and losses stay float32 for Q-value fidelity.
     compute_dtype: str = "float32"
-    # Use the pallas fused multi-timestep LSTM for sequence forwards
-    # (ops/pallas_lstm.py): weights stay resident in VMEM across all T steps
-    # instead of being re-read from HBM per step. TPU only.
-    use_pallas_lstm: bool = False
-
     def __post_init__(self):
         if self.compute_dtype not in ("float32", "bfloat16"):
             raise ValueError(
@@ -162,14 +157,7 @@ def forward(
         hidden = lstm_mod.zero_hidden(cfg.num_lstm_layer, B, cfg.hid_dim, x.dtype)
     else:
         hidden = (hid["h0"], hid["c0"])  # already [L, B, D]
-    if cfg.use_pallas_lstm:
-        from hanabi_sad_tpu.ops.pallas_lstm import lstm_seq_pallas_diff
-
-        o, _ = lstm_seq_pallas_diff(
-            params.lstm, x, (hidden[0].astype(x.dtype), hidden[1].astype(x.dtype))
-        )
-    else:
-        o, _ = lstm_mod.lstm_seq(params.lstm, x, hidden)
+    o, _ = lstm_mod.lstm_seq(params.lstm, x, hidden)
     if cfg.skip_connect:
         o = o + x
     o = o.astype(jnp.float32)

@@ -1,5 +1,13 @@
 """Pallas fused multi-timestep LSTM.
 
+STATUS — retired from the training path (round-2 decision). On-chip A/B in
+the full sad_2p train chunk (BENCHMARKS.md "Round 2 A/B"): XLA lax.scan
+172 ms/chunk vs pallas 177 ms/chunk — the kernel does not beat XLA's
+scan+fused-matmul at [batch<=2048, hidden 512, T 80], so the production
+net uses lax.scan unconditionally. The kernel stays as a tested, standalone
+building block (tests/test_ops.py) for shapes where weight-streaming
+dominates (much larger hidden sizes or batches).
+
 The hot recurrent op of this framework: lax.scan over an LSTM re-reads the
 weight matrices from HBM every timestep (80x per rollout/learner pass). This
 kernel runs ALL T timesteps for a batch tile inside one pallas program with

@@ -1,5 +1,10 @@
 """Pallas fused replay gather + bit-unpack.
 
+STATUS — retired from the training path (round-2 decision, same A/B as
+ops/pallas_lstm.py): measured within noise of the XLA gather + unpack inside
+the real train chunk, so replay/prioritized.py uses the XLA path
+unconditionally. Kept as a tested, standalone building block.
+
 Sampling gathers B episodes of bitpacked observations from the [capacity, ...]
 HBM buffer and expands them 8x to 0/1 features. Doing this as two XLA ops
 materializes the gathered packed bytes; this kernel fuses the indexed gather

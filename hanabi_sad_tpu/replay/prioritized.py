@@ -44,9 +44,6 @@ class ReplayConfig:
     hand_size: int = 5
     alpha: float = 0.9  # priority exponent (--priority_exponent)
     beta: float = 0.6  # IS exponent (--priority_weight)
-    # Fuse the sample-time episode gather with the bit-unpack in one pallas
-    # kernel (ops/pallas_replay.py) instead of gather + shift/mask XLA ops.
-    use_pallas_gather: bool = False
 
     @property
     def bits_per_step(self) -> int:
@@ -173,13 +170,8 @@ def sample(
     is_w = jnp.power(state.size.astype(jnp.float32) * p, -cfg.beta)
     is_w = is_w / jnp.maximum(is_w.max(), 1e-30)
 
-    if cfg.use_pallas_gather:
-        from hanabi_sad_tpu.ops.pallas_replay import gather_unpack_pallas
-
-        bits = gather_unpack_pallas(state.packed, idx)[..., : cfg.bits_per_step]
-    else:
-        packed = state.packed[idx]  # [B, T, Pi, bytes]
-        bits = unpack_bits(packed, cfg.bits_per_step)  # [B, T, Pi, n_bits]
+    packed = state.packed[idx]  # [B, T, Pi, bytes]
+    bits = unpack_bits(packed, cfg.bits_per_step)  # [B, T, Pi, n_bits]
     F, A = cfg.obs_dim, cfg.num_actions
     priv_s = bits[..., :F]
     legal = bits[..., F : F + A]

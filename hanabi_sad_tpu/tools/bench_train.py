@@ -29,8 +29,6 @@ def main(argv=None):
     parser.add_argument("--batchsize", type=int, default=128)
     parser.add_argument("--replay_buffer_size", type=int, default=2 ** 15)
     parser.add_argument("--compute_dtype", default="float32")
-    parser.add_argument("--use_pallas_lstm", type=int, default=0)
-    parser.add_argument("--use_pallas_replay", type=int, default=0)
     parser.add_argument("--reps", type=int, default=3)
     args = parser.parse_args(argv)
     # After parse_args so `--help` neither imports jax nor creates cache dirs.
@@ -47,8 +45,6 @@ def main(argv=None):
         replay_buffer_size=args.replay_buffer_size,
         burn_in_frames=1,
         compute_dtype=args.compute_dtype,
-        use_pallas_lstm=bool(args.use_pallas_lstm),
-        use_pallas_replay=bool(args.use_pallas_replay),
     )
     setup = learner.make_setup(cfg)
     cfg = setup.train

@@ -45,8 +45,6 @@ class TrainConfig:
     num_fc_layer: int = 1
     skip_connect: bool = False
     compute_dtype: str = "float32"  # "bfloat16" feeds the MXU at 2x
-    use_pallas_lstm: bool = False  # fused VMEM-resident LSTM for seq forwards
-    use_pallas_replay: bool = False  # fused replay gather+unpack kernel
 
     batchsize: int = 128
     num_epoch: int = 5000

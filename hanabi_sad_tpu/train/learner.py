@@ -105,7 +105,6 @@ def make_setup(cfg: TrainConfig) -> Setup:
         num_fc_layer=cfg.num_fc_layer,
         skip_connect=cfg.skip_connect,
         compute_dtype=cfg.compute_dtype,
-        use_pallas_lstm=cfg.use_pallas_lstm,
     )
     agent = AgentConfig(
         net=net,
@@ -124,7 +123,6 @@ def make_setup(cfg: TrainConfig) -> Setup:
         hand_size=cfg.hand_size,
         alpha=cfg.priority_exponent,
         beta=cfg.priority_weight,
-        use_pallas_gather=cfg.use_pallas_replay,
     )
     return Setup(
         train=cfg, env=env, eval_env=eval_env, agent=agent, eval_agent=eval_agent,
