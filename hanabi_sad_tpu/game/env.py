@@ -159,6 +159,12 @@ def observe(cfg: EnvConfig, state: EnvState) -> Obs:
 
 
 def reset(cfg: EnvConfig, key: jax.Array) -> Tuple[EnvState, Obs]:
+    state = reset_state(cfg, key)
+    return state, observe(cfg, state)
+
+
+def reset_state(cfg: EnvConfig, key: jax.Array) -> EnvState:
+    """reset() without the observation encode (see step_autoreset)."""
     g = cfg.game
     k_deck, k_eps, k_perm, k_next = jax.random.split(key, 4)
     game = new_game(g, k_deck)
@@ -175,7 +181,7 @@ def reset(cfg: EnvConfig, key: jax.Array) -> Tuple[EnvState, Obs]:
         key=k_next,
         last_score=jnp.asarray(-1, dtype=jnp.int32),
     )
-    return state, observe(cfg, state)
+    return state
 
 
 def step(cfg: EnvConfig, state: EnvState, action: Dict[str, jnp.ndarray]):
@@ -183,6 +189,12 @@ def step(cfg: EnvConfig, state: EnvState, action: Dict[str, jnp.ndarray]):
     only consumed in SAD mode). Returns (state, obs, reward, done). Stepping a
     done env is a frozen no-op with zero reward — the rollout layer owns
     resets."""
+    new_state, reward, done = step_state(cfg, state, action)
+    return new_state, observe(cfg, new_state), reward, done
+
+
+def step_state(cfg: EnvConfig, state: EnvState, action: Dict[str, jnp.ndarray]):
+    """step() without the observation encode (see step_autoreset)."""
     g = cfg.game
     cur = state.game.cur_player
     prev_score = score(state.game)
@@ -243,7 +255,7 @@ def step(cfg: EnvConfig, state: EnvState, action: Dict[str, jnp.ndarray]):
         key=state.key,
         last_score=last_score,
     )
-    return new_state, observe(cfg, new_state), reward, done
+    return new_state, reward, done
 
 
 def step_autoreset(cfg: EnvConfig, state: EnvState, action: Dict[str, jnp.ndarray]):
@@ -253,20 +265,21 @@ def step_autoreset(cfg: EnvConfig, state: EnvState, action: Dict[str, jnp.ndarra
 
     Returns (state, obs, reward, done, score) where `done` flags that THIS
     step ended an episode (the returned state is already the next episode)
-    and `score` is the finished episode's final score (valid when done)."""
-    stepped, obs, reward, done = step(cfg, state, action)
+    and `score` is the finished episode's final score (valid when done).
+
+    The observation is encoded ONCE, from the post-selection state — encoding
+    both the stepped and the fresh state and selecting afterwards would
+    double the encoder work of the rollout hot loop for identical output
+    (obs is a pure function of state)."""
+    stepped, reward, done = step_state(cfg, state, action)
     k_reset, k_next = jax.random.split(state.key)
-    fresh, fresh_obs = reset(cfg, k_reset)
-    fresh = fresh._replace(key=k_next)
+    fresh = reset_state(cfg, k_reset)._replace(key=k_next)
 
     # where(done, fresh, stepped) with correct broadcasting over leaves
     new_state = jax.tree_util.tree_map(
         lambda f, s: jnp.where(_bcast(done, f), f, s), fresh, stepped
     )
-    new_obs = jax.tree_util.tree_map(
-        lambda f, s: jnp.where(_bcast(done, f), f, s), fresh_obs, obs
-    )
-    return new_state, new_obs, reward, done, stepped.last_score
+    return new_state, observe(cfg, new_state), reward, done, stepped.last_score
 
 
 def _bcast(flag: jnp.ndarray, like: jnp.ndarray) -> jnp.ndarray:
