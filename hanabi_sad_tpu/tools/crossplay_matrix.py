@@ -33,6 +33,40 @@ def crossplay_matrix(policies, num_game: int, seed: int, bomb: int = 0):
     return scores, perfect
 
 
+def relabel_table(policies, num_game: int, seed: int, bomb: int = 0):
+    """Self-play vs self-play-under-relabeling, per model.
+
+    The Other-Play paper's cross-play metric: pair a policy with a clone of
+    itself that observes the game through an independent random color
+    permutation per seat (evaluate(..., shuffle_color=True)). A policy whose
+    conventions are color-symmetric (OP-trained) keeps its score; a policy
+    with arbitrary color conventions (plain SAD) collapses. This gives the
+    intra-family cross-play signal of models/op_raw_data.txt with a single
+    trained seed per family.
+    """
+    plain = np.zeros(len(policies))
+    relabeled = np.zeros(len(policies))
+    for i, p in enumerate(policies):
+        plain[i] = evaluate([p, p], num_game, seed + 2 * i, bomb)[0]
+        relabeled[i] = evaluate(
+            [p, p], num_game, seed + 2 * i + 1, bomb, shuffle_color=True
+        )[0]
+    return plain, relabeled
+
+
+def render_relabel(plain: np.ndarray, relabeled: np.ndarray, names) -> str:
+    lines = [
+        "cross-play under color relabeling (OP metric):",
+        f"{'model':>14} {'self-play':>10} {'relabeled':>10} {'drop':>8}",
+    ]
+    for i, name in enumerate(names):
+        lines.append(
+            f"{name[:14]:>14} {plain[i]:10.2f} {relabeled[i]:10.2f}"
+            f" {plain[i] - relabeled[i]:8.2f}"
+        )
+    return "\n".join(lines)
+
+
 def render(scores: np.ndarray, names) -> str:
     lines = []
     n = scores.shape[0]
@@ -55,6 +89,11 @@ def main(argv=None):
     parser.add_argument("--seed", default=1, type=int)
     parser.add_argument("--bomb", default=0, type=int)
     parser.add_argument("--out", default=None, type=str)
+    parser.add_argument(
+        "--relabel",
+        action="store_true",
+        help="also report self-play under per-seat color relabeling (OP metric)",
+    )
     args = parser.parse_args(argv)
     # After parse_args so `--help` neither imports jax nor creates cache dirs.
     from hanabi_sad_tpu.utils import enable_compilation_cache
@@ -65,6 +104,9 @@ def main(argv=None):
     names = [w.rsplit("/", 1)[-1] for w in args.weights]
     scores, perfect = crossplay_matrix(policies, args.num_game, args.seed, args.bomb)
     text = render(scores, names)
+    if args.relabel:
+        plain, relabeled = relabel_table(policies, args.num_game, args.seed + 7777, args.bomb)
+        text += "\n\n" + render_relabel(plain, relabeled, names)
     print(text)
     if args.out:
         with open(args.out, "w") as f:

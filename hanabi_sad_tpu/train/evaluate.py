@@ -28,6 +28,7 @@ def evaluate(
     hand_size: int = 5,
     num_steps: int = 128,
     return_actions: bool = False,
+    shuffle_color: bool = False,
 ):
     num_player = len(policies)
     sad = policies[0].sad
@@ -37,6 +38,11 @@ def evaluate(
         eps_list=(0.0,),
         max_len=-1,
         sad=sad,
+        # Other-Play's cross-play-under-relabeling metric (OP paper §4; the
+        # reference evaluates OP zoo models pairwise instead, op_raw_data.txt):
+        # each seat observes the game through an independent random color
+        # permutation, i.e. self-play with a relabeled clone of the partner.
+        shuffle_color=shuffle_color,
     )
 
     keys = jax.vmap(lambda i: jax.random.fold_in(jax.random.PRNGKey(seed), i))(

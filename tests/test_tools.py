@@ -233,3 +233,37 @@ class TestCrossplayMatrix:
         assert scores.shape == (2, 2)
         assert (scores >= 0).all() and (scores <= 25).all()
         assert os.path.exists(tmp_path / "xp.txt")
+
+    def test_relabel_mode(self, tmp_path):
+        """--relabel appends the OP cross-play-under-relabeling table."""
+        from hanabi_sad_tpu.tools import crossplay_matrix
+
+        p1 = str(tmp_path / "a.pkl")
+        save_tiny_checkpoint(p1)
+        crossplay_matrix.main(
+            ["--weights", p1, "--num_game", "6", "--relabel",
+             "--out", str(tmp_path / "xp.txt")]
+        )
+        text = open(tmp_path / "xp.txt").read()
+        assert "relabeling" in text
+
+    def test_relabel_eval_permutes_colors(self):
+        """shuffle_color eval must change play relative to plain self-play:
+        same seeds, same policy, different observation relabeling per seat
+        => (generically) different scores; both stay legal games."""
+        net_cfg = NetConfig(in_dim=838, hid_dim=32, out_dim=21)
+        params = r2d2_net.init_r2d2_net(jax.random.PRNGKey(5), net_cfg)
+        agent_cfg = AgentConfig(net=net_cfg, vdn=False, multi_step=3,
+                                gamma=0.999, eta=0.9)
+        pol = loaders.EvalPolicy(
+            params=r2d2_agent.AgentParams(online=params, target=params),
+            agent_cfg=agent_cfg, sad=True, act_fn=r2d2_agent.act,
+        )
+        plain = evaluate([pol, pol], 16, seed=11, num_steps=110,
+                         return_actions=True)
+        relab = evaluate([pol, pol], 16, seed=11, num_steps=110,
+                         shuffle_color=True, return_actions=True)
+        assert all(0 <= s <= 25 for s in plain[2] + relab[2])
+        # Same seeds + same policy, but each seat observes through its own
+        # random color permutation => the played action sequences differ.
+        assert not np.array_equal(plain[4], relab[4])
