@@ -30,6 +30,7 @@ def crossplay_matrix(policies, num_game: int, seed: int, bomb: int = 0):
             )
             scores[i, j] = mean
             perfect[i, j] = prate
+            print(f"  cell ({i},{j}): {mean:.2f}", flush=True)
     return scores, perfect
 
 
