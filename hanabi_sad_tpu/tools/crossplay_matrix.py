@@ -48,9 +48,12 @@ def relabel_table(policies, num_game: int, seed: int, bomb: int = 0):
     plain = np.zeros(len(policies))
     relabeled = np.zeros(len(policies))
     for i, p in enumerate(policies):
-        plain[i] = evaluate([p, p], num_game, seed + 2 * i, bomb)[0]
+        # Same seed for both calls: identical decks, only color_perm differs
+        # (tests/test_tools.py shows the perm is the sole divergence), so the
+        # drop column is a paired comparison, not deck-draw noise.
+        plain[i] = evaluate([p, p], num_game, seed + i, bomb)[0]
         relabeled[i] = evaluate(
-            [p, p], num_game, seed + 2 * i + 1, bomb, shuffle_color=True
+            [p, p], num_game, seed + i, bomb, shuffle_color=True
         )[0]
     return plain, relabeled
 
@@ -105,14 +108,16 @@ def main(argv=None):
     names = [w.rsplit("/", 1)[-1] for w in args.weights]
     scores, perfect = crossplay_matrix(policies, args.num_game, args.seed, args.bomb)
     text = render(scores, names)
+    sidecar = {"scores": scores, "perfect": perfect}
     if args.relabel:
         plain, relabeled = relabel_table(policies, args.num_game, args.seed + 7777, args.bomb)
         text += "\n\n" + render_relabel(plain, relabeled, names)
+        sidecar.update(relabel_plain=plain, relabel_relabeled=relabeled)
     print(text)
     if args.out:
         with open(args.out, "w") as f:
             f.write(text + "\n")
-        np.savez(args.out + ".npz", scores=scores, perfect=perfect)
+        np.savez(args.out + ".npz", **sidecar)
     return scores, perfect
 
 

@@ -38,6 +38,13 @@ class TrainConfig:
     hand_size: int = 5
 
     lr: float = 6.25e-5
+    # lr_final > 0 switches Adam to a linear decay lr -> lr_final over
+    # lr_decay_updates gradient steps (0 = num_epoch * epoch_len), then holds
+    # at lr_final. The reference trains at a fixed lr (selfplay.py:149); both
+    # long flagship lineages here needed manual lr drops across resume
+    # sessions (BENCHMARKS.md), which this automates inside one run.
+    lr_final: float = 0.0
+    lr_decay_updates: int = 0
     adam_eps: float = 1.5e-4
     grad_clip: float = 50.0
     num_lstm_layer: int = 2

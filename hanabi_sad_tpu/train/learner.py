@@ -132,10 +132,17 @@ def make_setup(cfg: TrainConfig) -> Setup:
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     """clip-then-Adam, matching clip_grad_norm_ + torch.optim.Adam
-    (selfplay.py:149, 231-234)."""
+    (selfplay.py:149, 231-234). With lr_final > 0 the lr decays linearly
+    from cfg.lr to cfg.lr_final over cfg.lr_decay_updates gradient steps
+    (default: the full run), then holds — the opt_state carries the step
+    count, so full-resume checkpoints continue the schedule."""
+    lr = cfg.lr
+    if cfg.lr_final > 0:
+        steps = cfg.lr_decay_updates or cfg.num_epoch * cfg.epoch_len
+        lr = optax.linear_schedule(cfg.lr, cfg.lr_final, steps)
     return optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),
-        optax.adam(cfg.lr, eps=cfg.adam_eps),
+        optax.adam(lr, eps=cfg.adam_eps),
     )
 
 
@@ -338,6 +345,19 @@ def make_evaluator(setup: Setup, num_games: int):
             num_steps=setup.train.eval_max_steps,
         )
         scores = scores.astype(jnp.float32)
-        return scores.mean(), (scores == setup.env.game.max_score).mean(), scores
+        return scores.mean(), (scores == setup.env.game.max_score).mean(), scores, done
 
-    return jax.jit(impl)
+    jitted = jax.jit(impl)
+
+    def run(params: AgentParams, seed: jnp.ndarray):
+        mean, perfect, scores, done = jitted(params, seed)
+        # Eval games have no forced-termination forfeit (maxLen=-1,
+        # eval.py:29-40): eval_max_steps must cover the longest possible game
+        # or the epoch eval would silently score truncated games. The
+        # standalone path asserts this (train/evaluate.py); mirror it here.
+        assert bool(done.all()), (
+            f"eval_max_steps={setup.train.eval_max_steps} truncated an eval game"
+        )
+        return mean, perfect, scores
+
+    return run

@@ -12,7 +12,9 @@ models=$(ls "$dir"/model[0-4].pkl 2>/dev/null)
 [ -n "$models" ] || { echo "no checkpoints in $dir"; exit 1; }
 python scripts/make_soup.py "$dir/soup.pkl" $models
 
-best=$(grep -h "eval score" "$dir/train.log" | sort -t: -k2 -rn | head -1 || true)
+# Sort on the extracted numeric score only — extra colons elsewhere in the
+# line (e.g. timestamps) must not break the key.
+best=$(grep -ho "eval score: [0-9.]*" "$dir/train.log" | sort -t: -k2 -rn | head -1 || true)
 echo "best epoch line: $best"
 
 for m in "$dir/soup.pkl" "$dir"/model4.pkl "$dir"/model3.pkl; do

@@ -6,21 +6,23 @@ set -e
 cd "$(dirname "$0")/.."
 
 mkdir -p exps
+NUM_GAME=400
+SEED=1
 # --- 1. Cross-play matrix artifact (reference models/op_raw_data.txt) ---
 # sad-family block: equal-budget zoo seeds + flagship lineage + aux branches.
 python -u -m hanabi_sad_tpu.tools.crossplay_matrix \
   --weights docs/runs/zoo/sad_a.pkl docs/runs/zoo/sad_b.pkl \
             docs/runs/sad_2p_r3_model4.pkl docs/runs/sad_2p_r3_soup.pkl \
             docs/runs/sad_aux_warm_model0.pkl docs/runs/zoo/auxop_a.pkl \
-  --num_game 400 --relabel --out exps/xp_sad.txt
+  --num_game "$NUM_GAME" --seed "$SEED" --relabel --out exps/xp_sad.txt
 # op family (sad=False seats cannot mix with sad=True): self + relabel.
 python -u -m hanabi_sad_tpu.tools.crossplay_matrix \
   --weights docs/runs/zoo/op_a.pkl docs/runs/iql_2p_r2_model.pkl \
-  --num_game 400 --relabel --out exps/xp_op.txt
+  --num_game "$NUM_GAME" --seed "$SEED" --relabel --out exps/xp_op.txt
 
 {
   echo "# Cross-play matrix (reference artifact: models/op_raw_data.txt)"
-  echo "# 400 greedy games per cell, seed 1. Zoo seeds (sad_a/b, op_a,"
+  echo "# $NUM_GAME greedy games per cell, seed $SEED. Zoo seeds (sad_a/b, op_a,"
   echo "# auxop_a) are 50-epoch equal-budget runs; flagship models are the"
   echo "# accumulated sad_2p lineage. 'relabeled' = self-play with each seat"
   echo "# observing through an independent random color permutation (the"
