@@ -240,14 +240,24 @@ def encode_observation(
     observer: jnp.ndarray,
     perm: jnp.ndarray,
     hand_shuffle: jnp.ndarray | None = None,
+    hide_action: bool = False,
 ) -> jnp.ndarray:
-    """Full per-player canonical observation (783 for 2p), before SAD."""
+    """Full per-player canonical observation (783 for 2p), before SAD.
+
+    hide_action: leave the last-action section as zeros while keeping its
+    length — the fork encoder's hideAction flag (OBL lineage; the reference
+    trainer always passes false, cpp/hanabi_env.cc:145-152, and only its
+    bit-rotted OBL-era eval path reads the flag, pyhanabi/eval.py:81-107).
+    """
+    last_action = encode_last_action(cfg, state.last, observer, perm, hand_shuffle)
+    if hide_action:
+        last_action = jnp.zeros_like(last_action)
     return jnp.concatenate(
         [
             encode_hands(cfg, state, observer, perm, hand_shuffle),
             encode_board(cfg, state, perm),
             encode_discards(cfg, state, perm),
-            encode_last_action(cfg, state.last, observer, perm, hand_shuffle),
+            last_action,
             encode_knowledge(cfg, state, observer, perm, hand_shuffle),
         ]
     )

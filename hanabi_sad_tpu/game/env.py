@@ -54,6 +54,11 @@ class EnvConfig:
     sad: bool = False
     shuffle_color: bool = False
     shuffle_obs: bool = False
+    # Zero the last-action section of the canonical obs (fork encoder's
+    # hideAction; OBL lineage — see encoder.encode_observation). Orthogonal
+    # to sad: the SAD greedy block, when enabled, is appended regardless,
+    # mirroring the fork where hideAction only gates the main Encode section.
+    hide_action: bool = False
 
     def __post_init__(self):
         if self.shuffle_obs and self.game.players != 2:
@@ -129,7 +134,9 @@ def observe(cfg: EnvConfig, state: EnvState) -> Obs:
     def _obs_for(p):
         shuf = None if shuffles is None else shuffles[p]
         perm = tpuops.take_row(state.color_perm, p)
-        return encoder.encode_observation(g, state.game, p, perm, shuf)
+        return encoder.encode_observation(
+            g, state.game, p, perm, shuf, hide_action=cfg.hide_action
+        )
 
     priv = jax.vmap(_obs_for)(players)  # [P, obs_dim]
     if cfg.sad:

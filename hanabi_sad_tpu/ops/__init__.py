@@ -1,4 +1,12 @@
-from hanabi_sad_tpu.ops.pallas_lstm import lstm_seq_pallas, pallas_lstm_available
-from hanabi_sad_tpu.ops.pallas_replay import gather_unpack_pallas
+"""Custom TPU kernels.
 
-__all__ = ["lstm_seq_pallas", "pallas_lstm_available", "gather_unpack_pallas"]
+Production compute runs entirely on XLA-generated kernels: the on-chip A/B
+(commit a0eb949, BENCHMARKS.md "pallas A/B") showed XLA's fused scan beats the
+hand-written pallas LSTM and replay-gather kernels at this model's sizes
+(512-dim LSTM, [batch, 838] features), so nothing here is imported by the
+training or eval paths.
+
+`ops.experimental` keeps the retired-but-correct pallas kernels (with their
+tests) as reference implementations should a future TPU generation or model
+size flip the trade-off.
+"""

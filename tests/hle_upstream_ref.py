@@ -227,8 +227,13 @@ class UpstreamHanabiState:
         knowledge = P * H * (C * R + C + R)
         return hands + board + discards + last_action + knowledge
 
-    def encode(self, observer):
-        """Fork-variant canonical observation (783 bits for 2p/H5)."""
+    def encode(self, observer, hide_action=False):
+        """Fork-variant canonical observation (783 bits for 2p/H5).
+
+        hide_action: skip EncodeLastAction_, leaving its section zeroed while
+        keeping the layout length — the fork's hideAction branch
+        (`offset += LastActionSectionLength(game)` instead of encoding).
+        """
         P, H, C, R = self.P, self.H, self.C, self.R
         bits = np.zeros(self.obs_dim(), dtype=np.float32)
         off = 0
@@ -272,7 +277,7 @@ class UpstreamHanabiState:
 
         # ---- EncodeLastAction_ ----
         la_len = P + 4 + P + C + R + H + H + C * R + 2
-        m = self.last_move
+        m = None if hide_action else self.last_move
         if m is None:
             off += la_len
         else:

@@ -39,12 +39,14 @@ def make_pair(cfg: GameConfig, deck_codes):
     return up, state
 
 
-def jitted_fns(cfg: GameConfig):
+def jitted_fns(cfg: GameConfig, hide_action: bool = False):
     ident = jnp.arange(cfg.num_colors, dtype=jnp.int32)
 
     @jax.jit
     def obs_all(state):
-        enc = lambda p: encoder.encode_observation(cfg, state, jnp.asarray(p), ident)
+        enc = lambda p: encoder.encode_observation(
+            cfg, state, jnp.asarray(p), ident, hide_action=hide_action
+        )
         return jnp.stack([enc(p) for p in range(cfg.players)])
 
     @jax.jit
@@ -58,10 +60,10 @@ def jitted_fns(cfg: GameConfig):
     return obs_all, legal, step
 
 
-def compare_step(cfg, up, state, obs_all, legal):
+def compare_step(cfg, up, state, obs_all, legal, hide_action=False):
     obs = np.asarray(obs_all(state))
     for p in range(cfg.players):
-        expected = up.encode(p)
+        expected = up.encode(p, hide_action=hide_action)
         diff = np.flatnonzero(obs[p] != expected)
         assert diff.size == 0, (
             f"observer {p}: {diff.size} differing bits at {diff[:20]} "
@@ -80,11 +82,11 @@ def compare_step(cfg, up, state, obs_all, legal):
     assert np.asarray(state.fireworks).tolist() == up.fireworks
 
 
-def run_differential(cfg, deck_codes, pick_uid, max_steps=200):
+def run_differential(cfg, deck_codes, pick_uid, max_steps=200, hide_action=False):
     """Drive both implementations with the same moves; compare every step."""
     up, state = make_pair(cfg, deck_codes)
-    obs_all, legal, step = jitted_fns(cfg)
-    compare_step(cfg, up, state, obs_all, legal)
+    obs_all, legal, step = jitted_fns(cfg, hide_action)
+    compare_step(cfg, up, state, obs_all, legal, hide_action)
     steps = 0
     while not up.is_terminal() and steps < max_steps:
         uid = pick_uid(up)
@@ -93,7 +95,7 @@ def run_differential(cfg, deck_codes, pick_uid, max_steps=200):
         steps += 1
         assert bool(state.terminal) == up.is_terminal(), f"terminal @ step {steps}"
         if not up.is_terminal():
-            compare_step(cfg, up, state, obs_all, legal)
+            compare_step(cfg, up, state, obs_all, legal, hide_action)
         else:
             # Post-terminal scalars still agree (the obs is never consumed).
             assert np.asarray(state.fireworks).tolist() == up.fireworks
@@ -107,7 +109,11 @@ class TestRandomPlayouts:
 
     @pytest.mark.parametrize(
         "players,hand_size,seed",
-        [(2, 5, 0), (2, 5, 1), (2, 5, 2), (3, 5, 3), (4, 4, 4), (5, 4, 5)],
+        [(2, 5, 0), (2, 5, 1), (2, 5, 2), (3, 5, 3), (4, 4, 4), (5, 4, 5),
+         # Non-standard hand sizes (the reference exposes hand_size as a free
+         # game param, create.py:38-43): shrinks the transcription-oracle
+         # blind spots around H-dependent layout sections.
+         (2, 4, 6), (3, 4, 7)],
     )
     def test_full_game_parity(self, players, hand_size, seed):
         cfg = GameConfig(players=players, hand_size=hand_size)
@@ -254,3 +260,48 @@ class TestScriptedEdgeCases:
         assert up.is_terminal() and up.life > 0
         assert moves_after_empty == cfg.players
         assert bool(state.terminal)
+
+
+class TestHideAction:
+    """hideAction (fork encoder flag, OBL lineage): the last-action section
+    stays zeroed while every other section — and the layout length — is
+    unchanged. Differential vs the upstream transcription's own hide_action
+    branch over a full playout."""
+
+    def test_full_game_parity_hidden(self):
+        cfg = GameConfig(players=2, hand_size=5)
+        rng = np.random.RandomState(11)
+        deck = rng.permutation(np.asarray(full_deck(cfg)))
+
+        def pick(up):
+            legal = sorted(up.legal_uids())
+            H = cfg.hand_size
+            non_play = [u for u in legal if not (H <= u < 2 * H)]
+            if non_play and rng.rand() < 0.7:
+                return int(rng.choice(non_play))
+            return int(rng.choice(legal))
+
+        steps = run_differential(cfg, deck, pick, hide_action=True)
+        assert steps > 5
+
+    def test_only_last_action_section_differs(self):
+        cfg = GameConfig(players=2, hand_size=5)
+        rng = np.random.RandomState(12)
+        deck = rng.permutation(np.asarray(full_deck(cfg)))
+        up, state = make_pair(cfg, deck)
+        obs_plain, legal, step = jitted_fns(cfg, hide_action=False)
+        obs_hidden, _, _ = jitted_fns(cfg, hide_action=True)
+
+        # Make one non-play move so the last-action section is non-trivial.
+        uid = sorted(u for u in up.legal_uids() if u >= 2 * cfg.hand_size)[0]
+        up.apply_uid(uid)
+        state = step(state, uid)
+
+        lo = cfg.hands_section + cfg.board_section + cfg.discard_section
+        hi = lo + cfg.last_action_section
+        plain = np.asarray(obs_plain(state))
+        hidden = np.asarray(obs_hidden(state))
+        assert np.all(hidden[:, lo:hi] == 0)
+        assert np.any(plain[:, lo:hi] != 0)  # a hint was made; bits exist
+        np.testing.assert_array_equal(hidden[:, :lo], plain[:, :lo])
+        np.testing.assert_array_equal(hidden[:, hi:], plain[:, hi:])

@@ -8,7 +8,7 @@ import numpy as np
 import pytest
 
 from hanabi_sad_tpu.models import lstm as lstm_mod
-from hanabi_sad_tpu.ops import pallas_lstm, pallas_replay
+from hanabi_sad_tpu.ops.experimental import pallas_lstm, pallas_replay
 from hanabi_sad_tpu.replay.bitpack import pack_bits, unpack_bits
 
 pytestmark = pytest.mark.skipif(
