@@ -215,3 +215,33 @@ class TestShuffleObs:
 
         with pytest.raises(ValueError):
             EnvConfig(game=GameConfig(players=3), shuffle_obs=True)
+
+
+class TestHideAction:
+    def test_last_action_section_zeroed(self):
+        """EnvConfig(hide_action=True): after a hint, the canonical obs's
+        last-action section is zero for every observer while all other
+        sections match the plain env bit-for-bit; the SAD greedy block (when
+        enabled) is unaffected (fork hideAction gates only the main Encode)."""
+        g = GameConfig(players=2)
+        plain = EnvConfig(game=g, sad=True, max_len=80)
+        hidden = EnvConfig(game=g, sad=True, max_len=80, hide_action=True)
+        key = jax.random.PRNGKey(42)
+        s_p, o_p = reset(plain, key)
+        s_h, o_h = reset(hidden, key)
+        # Same key -> same deck; submit a hint (first legal reveal uid).
+        legal = np.asarray(o_p["legal_move"])
+        cur = int(np.asarray(s_p.game.cur_player))
+        hint_uids = np.flatnonzero(legal[cur][2 * g.hand_size:-1]) + 2 * g.hand_size
+        action = np.full((g.players,), int(hint_uids[0]), dtype=np.int32)
+        a = jnp.asarray(action)
+        s_p, o_p, _, _ = step(plain, s_p, {"a": a, "greedy_a": a})
+        s_h, o_h, _, _ = step(hidden, s_h, {"a": a, "greedy_a": a})
+
+        lo = g.hands_section + g.board_section + g.discard_section
+        hi = lo + g.last_action_section
+        pp, hh = np.asarray(o_p["priv_s"]), np.asarray(o_h["priv_s"])
+        assert np.all(hh[:, lo:hi] == 0)
+        assert np.any(pp[:, lo:hi] != 0)
+        np.testing.assert_array_equal(hh[:, :lo], pp[:, :lo])
+        np.testing.assert_array_equal(hh[:, hi:], pp[:, hi:])  # incl. SAD block

@@ -143,3 +143,39 @@ class TestMultiplayer:
         )
         out = train(cfg, max_chunks=2)
         assert out["num_update"] > 0
+
+
+class TestLrSchedule:
+    def test_linear_decay_shrinks_updates(self):
+        """make_optimizer with lr_final > 0: the same gradient produces a
+        smaller parameter update late in the schedule, ending at lr_final;
+        with lr_final = 0 the update is step-invariant (reference behavior,
+        fixed-lr Adam, selfplay.py:149)."""
+        import jax.numpy as jnp
+        import optax
+
+        cfg = make_config(
+            "dev", save_dir="/tmp/x", lr=1e-3, lr_final=1e-4, lr_decay_updates=100
+        )
+        opt = learner.make_optimizer(cfg)
+        params = {"w": jnp.ones(4)}
+        grads = {"w": jnp.full(4, 0.5)}
+        state = opt.init(params)
+
+        # Drive Adam to its steady state first so only the schedule varies.
+        sizes = []
+        for _ in range(200):
+            updates, state = opt.update(grads, state, params)
+            sizes.append(float(jnp.abs(updates["w"]).max()))
+        # Early (post-warmup) step ~lr at its schedule point; final ~lr_final.
+        assert sizes[-1] < sizes[10] / 3
+        assert sizes[-1] == pytest.approx(1e-4, rel=0.05)
+
+        cfg0 = make_config("dev", save_dir="/tmp/x", lr=1e-3)
+        opt0 = learner.make_optimizer(cfg0)
+        state0 = opt0.init(params)
+        s = []
+        for _ in range(50):
+            updates, state0 = opt0.update(grads, state0, params)
+            s.append(float(jnp.abs(updates["w"]).max()))
+        assert s[-1] == pytest.approx(1e-3, rel=0.05)
