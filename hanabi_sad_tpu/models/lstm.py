@@ -69,16 +69,21 @@ def lstm_step(params: LSTMParams, x: jnp.ndarray, hidden: Hidden) -> Tuple[jnp.n
     return out, (jnp.stack(hs), jnp.stack(cs))
 
 
-def lstm_seq(params: LSTMParams, xs: jnp.ndarray, hidden: Hidden) -> Tuple[jnp.ndarray, Hidden]:
+def lstm_seq(
+    params: LSTMParams, xs: jnp.ndarray, hidden: Hidden, unroll: int = 1
+) -> Tuple[jnp.ndarray, Hidden]:
     """Full sequence. xs: [T, B, in] -> (outputs [T, B, H], final hidden).
     scan over time; layers fused per step (the standard recurrent tradeoff —
-    batch width, not time, is the TPU parallelism axis)."""
+    batch width, not time, is the TPU parallelism axis). unroll > 1 widens
+    the compiled loop body by that many time steps — the per-step matmuls
+    here are far below MXU saturation, so letting XLA software-pipeline
+    consecutive steps can cut fixed per-iteration overhead."""
 
     def body(hid, x):
         out, hid = lstm_step(params, x, hid)
         return hid, out
 
-    hidden, outs = jax.lax.scan(body, hidden, xs)
+    hidden, outs = jax.lax.scan(body, hidden, xs, unroll=unroll)
     return outs, hidden
 
 

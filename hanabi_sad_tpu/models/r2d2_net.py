@@ -31,6 +31,10 @@ class NetConfig:
     # float32; bfloat16 compute feeds the MXU at 2x and halves HBM traffic.
     # Heads and losses stay float32 for Q-value fidelity.
     compute_dtype: str = "float32"
+    # Time-step unroll factor of the sequence-forward LSTM scan (learner
+    # fwd/bwd passes). 1 = plain scan; larger values trade compile time and
+    # code size for cross-step software pipelining of the underfed matmuls.
+    seq_unroll: int = 1
     def __post_init__(self):
         if self.compute_dtype not in ("float32", "bfloat16"):
             raise ValueError(
@@ -157,7 +161,7 @@ def forward(
         hidden = lstm_mod.zero_hidden(cfg.num_lstm_layer, B, cfg.hid_dim, x.dtype)
     else:
         hidden = (hid["h0"], hid["c0"])  # already [L, B, D]
-    o, _ = lstm_mod.lstm_seq(params.lstm, x, hidden)
+    o, _ = lstm_mod.lstm_seq(params.lstm, x, hidden, unroll=cfg.seq_unroll)
     if cfg.skip_connect:
         o = o + x
     o = o.astype(jnp.float32)

@@ -99,8 +99,12 @@ def run_continuous_chunk(
     actor: ActorState,
     act_key: jax.Array,
     num_steps: int,
+    unroll: int = 1,
 ) -> Tuple[ActorState, StreamChunk]:
-    """Roll num_steps live steps from the persistent actor state."""
+    """Roll num_steps live steps from the persistent actor state. unroll > 1
+    widens the compiled rollout loop body by that many env/act steps so XLA
+    can software-pipeline the underfed per-step matmuls (see
+    TrainConfig.rollout_unroll)."""
 
     def body(carry, step_key):
         env_state, obs, hidden = carry
@@ -124,6 +128,7 @@ def run_continuous_chunk(
         body,
         (actor.env_state, actor.obs, actor.hidden),
         jax.random.split(act_key, num_steps),
+        unroll=unroll,
     )
     stream = StreamChunk(*recs)
     actor = actor._replace(env_state=env_state, obs=obs, hidden=hidden)

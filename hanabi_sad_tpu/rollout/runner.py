@@ -55,6 +55,7 @@ def run_episode_chunk(
     keys: jnp.ndarray,
     act_key: jax.Array,
     num_steps: int,
+    unroll: int = 1,
 ) -> RolloutOutput:
     """Reset N envs and roll `num_steps` steps of epsilon-greedy self-play.
 
@@ -81,7 +82,8 @@ def run_episode_chunk(
         return (new_env_state, new_obs, new_hidden), rec
 
     (env_state, _, _), (priv_s, legal, own_hand, action, greedy_a, qa, reward, done) = jax.lax.scan(
-        body, (env_state, obs, hidden), jax.random.split(act_key, num_steps)
+        body, (env_state, obs, hidden), jax.random.split(act_key, num_steps),
+        unroll=unroll,
     )
     return RolloutOutput(
         priv_s=priv_s,

@@ -29,6 +29,8 @@ def main(argv=None):
     parser.add_argument("--batchsize", type=int, default=128)
     parser.add_argument("--replay_buffer_size", type=int, default=2 ** 15)
     parser.add_argument("--compute_dtype", default="float32")
+    parser.add_argument("--rollout_unroll", type=int, default=1)
+    parser.add_argument("--net_seq_unroll", type=int, default=1)
     parser.add_argument("--reps", type=int, default=3)
     args = parser.parse_args(argv)
     # After parse_args so `--help` neither imports jax nor creates cache dirs.
@@ -45,6 +47,8 @@ def main(argv=None):
         replay_buffer_size=args.replay_buffer_size,
         burn_in_frames=1,
         compute_dtype=args.compute_dtype,
+        rollout_unroll=args.rollout_unroll,
+        net_seq_unroll=args.net_seq_unroll,
     )
     setup = learner.make_setup(cfg)
     cfg = setup.train

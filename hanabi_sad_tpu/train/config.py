@@ -82,6 +82,13 @@ class TrainConfig:
     # compute_priority, r2d2.py:344-348) instead of the cheap online-online
     # approximation from the rollout's own Q values.
     continuous_exact_priority: bool = False
+    # Scan unroll factors (1 = plain scan). rollout_unroll widens the
+    # act+env rollout loop body; net_seq_unroll widens the learner's
+    # sequence-LSTM loop. The per-step matmuls at these sizes run far below
+    # MXU saturation (BENCHMARKS.md round-3 sweep), so cross-step software
+    # pipelining is the remaining single-chip throughput lever.
+    rollout_unroll: int = 1
+    net_seq_unroll: int = 1
     num_eval_game: int = 1000
     eval_max_steps: int = 128  # > longest possible game; eval has no forced cap
     eval_freq_epochs: int = 1

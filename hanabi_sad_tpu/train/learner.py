@@ -105,6 +105,7 @@ def make_setup(cfg: TrainConfig) -> Setup:
         num_fc_layer=cfg.num_fc_layer,
         skip_connect=cfg.skip_connect,
         compute_dtype=cfg.compute_dtype,
+        seq_unroll=cfg.net_seq_unroll,
     )
     agent = AgentConfig(
         net=net,
@@ -176,7 +177,8 @@ def collect_chunk(
     env_key, k_envs, k_act = jax.random.split(env_key, 3)
     keys = jax.random.split(k_envs, cfg.num_envs)
     out = runner.run_episode_chunk(
-        params, setup.agent, setup.env, keys, k_act, cfg.max_len
+        params, setup.agent, setup.env, keys, k_act, cfg.max_len,
+        unroll=cfg.rollout_unroll,
     )
     episodes = runner.chunk_to_episodes(out, setup.agent)
     batch = runner.episodes_to_batch(episodes)
@@ -257,7 +259,8 @@ def collect_into_replay(setup: Setup, state: TrainState):
     if cfg.rollout_mode == "continuous":
         env_key, k_act = jax.random.split(state.env_key)
         actor, stream = continuous.run_continuous_chunk(
-            state.params, setup.agent, setup.env, state.actor, k_act, cfg.max_len
+            state.params, setup.agent, setup.env, state.actor, k_act, cfg.max_len,
+            unroll=cfg.rollout_unroll,
         )
         actor, episodes = continuous.assemble_episodes(
             actor, stream, cfg.slots_per_env

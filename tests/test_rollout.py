@@ -192,3 +192,51 @@ class TestFastPriority:
                 np.asarray(fast), np.asarray(slow), rtol=1e-5, atol=1e-5,
                 err_msg=f"vdn={vdn}",
             )
+
+
+class TestScanUnroll:
+    def test_unrolled_rollout_identical(self):
+        """unroll is a pure scheduling knob: the continuous rollout stream for
+        unroll 1 vs 4 matches up to refusion rounding (measured 1-2 ulp on
+        qa), with bit-identical actions/rewards/dones at this seed."""
+        import jax
+
+        from hanabi_sad_tpu.rollout import continuous
+        from hanabi_sad_tpu.train import learner
+        from hanabi_sad_tpu.train.config import make_config
+
+        cfg = make_config(
+            "dev", save_dir="/tmp/x", num_envs=8, num_update_per_chunk=2,
+            replay_buffer_size=512, burn_in_frames=1,
+        )
+        setup = learner.make_setup(cfg)
+        keys = jax.random.split(jax.random.PRNGKey(0), cfg.num_envs)
+        actor = continuous.init_actor_state(setup.agent, setup.env, setup.replay, keys)
+        params = learner.init_train_state(setup, jax.random.PRNGKey(1)).params
+        k = jax.random.PRNGKey(2)
+        _, s1 = continuous.run_continuous_chunk(
+            params, setup.agent, setup.env, actor, k, 20, unroll=1
+        )
+        _, s4 = continuous.run_continuous_chunk(
+            params, setup.agent, setup.env, actor, k, 20, unroll=4
+        )
+        for a, b, name in zip(s1, s4, s1._fields):
+            atol = 1e-6 if np.asarray(a).dtype == np.float32 else 0
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=0, atol=atol, err_msg=name
+            )
+
+    def test_unrolled_lstm_seq_identical(self):
+        import jax
+        import jax.numpy as jnp
+
+        from hanabi_sad_tpu.models import lstm as lstm_mod
+
+        key = jax.random.PRNGKey(0)
+        params = lstm_mod.init_lstm(key, 16, 32, 2)
+        xs = jax.random.normal(jax.random.PRNGKey(1), (11, 4, 16))
+        hid = lstm_mod.zero_hidden(2, 4, 32)
+        o1, h1 = lstm_mod.lstm_seq(params, xs, hid, unroll=1)
+        o3, h3 = lstm_mod.lstm_seq(params, xs, hid, unroll=3)
+        np.testing.assert_array_equal(np.asarray(o1), np.asarray(o3))
+        np.testing.assert_array_equal(np.asarray(h1[0]), np.asarray(h3[0]))
