@@ -182,7 +182,13 @@ def _train_loop(cfg, setup, state, saver, max_chunks) -> dict:
         stat.reset()
         stopwatch.reset()
 
-        epoch_frames = 0
+        # Chunks are dispatched async and their metrics fetched in ONE
+        # device_get at the end of the epoch: a per-chunk float() would cost
+        # one host<->device round-trip per metric per chunk (~8 x 63 RTTs per
+        # epoch — measured as seconds of idle chip over a tunneled link) and
+        # stall the dispatch pipeline. The reference has the same structure:
+        # its learner loop only syncs for logging per epoch (selfplay.py:248).
+        epoch_metrics = []
         for _ in range(chunks_per_epoch):
             # Trace steady-state chunks (skip chunk 1 = compile) on request.
             profiling = (
@@ -194,6 +200,7 @@ def _train_loop(cfg, setup, state, saver, max_chunks) -> dict:
                 jax.profiler.start_trace(os.path.join(cfg.save_dir, "profile"))
                 trace_active = True
             state, metrics = train_chunk(state)
+            epoch_metrics.append(metrics)
             total_chunks += 1
             if total_chunks == 1:
                 jax.block_until_ready(metrics["loss"])  # count compile separately
@@ -203,15 +210,18 @@ def _train_loop(cfg, setup, state, saver, max_chunks) -> dict:
                 jax.profiler.stop_trace()
                 trace_active = False
                 print(f"profiler trace written to {cfg.save_dir}/profile")
+            if max_chunks and total_chunks >= max_chunks:
+                break
+
+        epoch_frames = 0
+        for metrics in jax.device_get(epoch_metrics):
             metrics = {k: float(v) for k, v in metrics.items()}
-            stopwatch.time("train chunk")
             stat.feed_dict(
                 {k: v for k, v in metrics.items() if k in ("loss", "grad_norm", "rl_loss", "aux1", "chunk_score", "chunk_len", "explore_ratio")}
             )
             epoch_frames += int(metrics["chunk_frames"])
             num_act_total += int(metrics["chunk_frames"]) * cfg.num_player
-            if max_chunks and total_chunks >= max_chunks:
-                break
+        stopwatch.time("train chunk")
 
         print(f"EPOCH: {epoch}")
         print(
