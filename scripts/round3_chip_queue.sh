@@ -22,7 +22,7 @@ OPSEED_SECS=${OPSEED_SECS:-2700}        # 45 min each
 timeout "$FLAGSHIP_SECS" python -u -m hanabi_sad_tpu.train.selfplay \
   --preset sad_2p --pred_weight 0.25 --seed 31 \
   --compute_dtype bfloat16 --num_envs "$NUM_ENVS" --num_update_per_chunk "$UPDATES" \
-  --lr_final 1e-5 --lr_decay_updates 430000 \
+  --lr_final 1e-5 --lr_decay_updates 1100000 \
   --num_epoch 2000 --save_dir exps/sad_aux_r1
 echo "=== flagship block done (rc=$?) ==="
 
