@@ -13,6 +13,13 @@ set -u
 cd "$(dirname "$0")/.."
 mkdir -p exps
 
+# Single-tenant chip: refuse to start while another trainer is alive
+# (detection only — never kill by pattern).
+if pgrep -f hanabi_sad_tpu.train.selfplay > /dev/null; then
+  echo "another selfplay process is running; aborting queue" >&2
+  exit 1
+fi
+
 NUM_ENVS=${NUM_ENVS:-1024}
 UPDATES=${UPDATES:-16}
 FLAGSHIP_SECS=${FLAGSHIP_SECS:-13500}   # ~3.75 h
