@@ -213,13 +213,11 @@ def _train_loop(cfg, setup, state, saver, max_chunks) -> dict:
             if max_chunks and total_chunks >= max_chunks:
                 break
 
-        epoch_frames = 0
         for metrics in jax.device_get(epoch_metrics):
             metrics = {k: float(v) for k, v in metrics.items()}
             stat.feed_dict(
                 {k: v for k, v in metrics.items() if k in ("loss", "grad_norm", "rl_loss", "aux1", "chunk_score", "chunk_len", "explore_ratio")}
             )
-            epoch_frames += int(metrics["chunk_frames"])
             num_act_total += int(metrics["chunk_frames"]) * cfg.num_player
         stopwatch.time("train chunk")
 
