@@ -305,3 +305,84 @@ class TestHideAction:
         assert np.any(plain[:, lo:hi] != 0)  # a hint was made; bits exist
         np.testing.assert_array_equal(hidden[:, :lo], plain[:, :lo])
         np.testing.assert_array_equal(hidden[:, hi:], plain[:, hi:])
+
+
+class TestColorPermEquivariance:
+    """End-to-end oracle for the Other-Play color permutation WITHOUT needing
+    the fork's shuffleColor source: encoding a state through permutation
+    sigma must equal the upstream transcription's *identity* encoding of the
+    sigma-relabeled playout (same decks/moves with every card color c and
+    every color hint relabeled to sigma[c]). Also checks the permuted
+    legal-move mask (moves.permute_hint_colors) against the relabeled
+    playout's legal uids."""
+
+    @pytest.mark.parametrize("seed", [21, 22])
+    def test_perm_equals_relabeled_playout(self, seed):
+        from hanabi_sad_tpu.game.moves import permute_hint_colors
+
+        cfg = GameConfig(players=2, hand_size=5)
+        C, R, H = cfg.num_colors, cfg.num_ranks, cfg.hand_size
+        rng = np.random.RandomState(seed)
+        deck = rng.permutation(np.asarray(full_deck(cfg)))
+        sigma = rng.permutation(C)
+        deck_rel = sigma[deck // R] * R + deck % R
+
+        def mk_upstream(d):
+            return UpstreamHanabiState(
+                d, players=cfg.players, hand_size=cfg.hand_size,
+                num_colors=C, num_ranks=R,
+                max_info=cfg.max_info_tokens, max_life=cfg.max_life_tokens,
+            )
+
+        up_o, state = make_pair(cfg, deck)
+        up_r = mk_upstream(deck_rel)
+
+        sig = jnp.asarray(sigma, dtype=jnp.int32)
+
+        @jax.jit
+        def obs_perm(state):
+            enc = lambda p: encoder.encode_observation(cfg, state, jnp.asarray(p), sig)
+            return jnp.stack([enc(p) for p in range(cfg.players)])
+
+        _, legal_fn, step = jitted_fns(cfg)
+
+        def relabel_uid(uid):
+            rc_base = 2 * H
+            if rc_base <= uid < rc_base + (cfg.players - 1) * C:
+                off, c = divmod(uid - rc_base, C)
+                return rc_base + off * C + int(sigma[c])
+            return uid
+
+        steps = 0
+        while not up_o.is_terminal() and steps < 200:
+            # Perm-encoded JAX obs == identity-encoded relabeled upstream obs.
+            obs = np.asarray(obs_perm(state))
+            for p in range(cfg.players):
+                expected = up_r.encode(p)
+                diff = np.flatnonzero(obs[p] != expected)
+                assert diff.size == 0, (
+                    f"step {steps} observer {p}: {diff.size} differing bits "
+                    f"at {diff[:10]}"
+                )
+            # Permuted legal mask == relabeled playout's legal uids.
+            legal = np.asarray(
+                permute_hint_colors(
+                    cfg, jnp.asarray(legal_fn(state)), jnp.tile(sig, (cfg.players, 1))
+                )
+            )
+            cur = up_o.cur_player
+            got = set(np.flatnonzero(legal[cur]).tolist())
+            assert got == set(up_r.legal_uids()), f"step {steps} legal mask"
+            assert set(up_r.legal_uids()) == {
+                relabel_uid(u) for u in up_o.legal_uids()
+            }
+
+            legal_o = sorted(up_o.legal_uids())
+            non_play = [u for u in legal_o if not (H <= u < 2 * H)]
+            uid = int(rng.choice(non_play)) if (non_play and rng.rand() < 0.7) else int(rng.choice(legal_o))
+            up_o.apply_uid(uid)
+            up_r.apply_uid(relabel_uid(uid))
+            state = step(state, uid)
+            steps += 1
+        assert up_r.is_terminal() == up_o.is_terminal()
+        assert steps > 5
