@@ -81,7 +81,11 @@ class TrainConfig:
     # over the assembled episodes (the reference's online-target
     # compute_priority, r2d2.py:344-348) instead of the cheap online-online
     # approximation from the rollout's own Q values.
-    continuous_exact_priority: bool = False
+    # Default True since the round-3 equal-budget A/B (exps/prio_ab_*,
+    # BENCHMARKS.md): at equal wall-clock the exact path led 12.0 vs 10.6
+    # eval score (iql_2p, seed 909, ~13 min each) despite ~10% fewer epochs
+    # from the extra target forward.
+    continuous_exact_priority: bool = True
     # Scan unroll factors (1 = plain scan). rollout_unroll widens the
     # act+env rollout loop body; net_seq_unroll widens the learner's
     # sequence-LSTM loop. The per-step matmuls at these sizes run far below
