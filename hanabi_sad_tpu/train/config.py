@@ -72,10 +72,13 @@ class TrainConfig:
     # --- TPU-native execution knobs (replace thread/device flags) ---
     num_envs: int = 1024  # parallel games per rollout chunk
     num_update_per_chunk: int = 16  # gradient steps between chunks
-    # "aligned": reset all envs per chunk, episodes align to chunk starts.
-    # "continuous": envs auto-reset mid-chunk (reference VecEnv semantics) —
-    # every step is a live frame; episodes are re-assembled from the stream.
-    rollout_mode: str = "aligned"
+    # "continuous" (default, the production path — both flagship lineages,
+    # every preset, and the round-3 A/B evidence use it): envs auto-reset
+    # mid-chunk (reference VecEnv semantics), every step is a live frame and
+    # episodes are re-assembled from the stream. "aligned": reset all envs
+    # per chunk so episodes align to chunk starts — the simpler mode, kept
+    # for tests/debugging and as the semantics reference.
+    rollout_mode: str = "continuous"
     slots_per_env: int = 4  # continuous mode: completed-episode slots/env/chunk
     # Continuous mode: compute initial priorities with a target-net forward
     # over the assembled episodes (the reference's online-target
@@ -144,8 +147,8 @@ def generate_explore_eps(base_eps: float, alpha: float, num_env: int) -> Tuple[f
 # beta .6, buffer 2^17, batch 128.
 _COMMON = dict(
     # Production rollout path: auto-resetting envs, zero idle frames (both
-    # long training runs in BENCHMARKS.md used it). TrainConfig's own default
-    # stays "aligned" so direct construction exercises the simpler mode.
+    # long training runs in BENCHMARKS.md used it). Redundant with the
+    # TrainConfig default since round 4; kept explicit for preset readability.
     rollout_mode="continuous",
     act_base_eps=0.1,
     act_eps_alpha=7.0,

@@ -63,7 +63,8 @@ def evaluate(
         scores, done, actions, was_done = out
     else:
         scores, done = out
-    assert bool(np.asarray(done).all()), "eval games did not finish; raise num_steps"
+    if not bool(np.asarray(done).all()):
+        raise RuntimeError("eval games did not finish; raise num_steps")
     scores = np.asarray(scores)
     num_perfect = int((scores == 25).sum())
     base = (float(scores.mean()), num_perfect / len(scores), scores.tolist(), num_perfect)

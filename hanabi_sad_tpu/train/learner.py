@@ -139,7 +139,17 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     count, so full-resume checkpoints continue the schedule."""
     lr = cfg.lr
     if cfg.lr_final > 0:
-        steps = cfg.lr_decay_updates or cfg.num_epoch * cfg.epoch_len
+        # Default horizon = the actual number of gradient updates the run
+        # performs: each epoch runs (epoch_len // num_update_per_chunk) full
+        # chunks of num_update_per_chunk updates (selfplay._train_loop), so
+        # epoch_len itself overcounts when it isn't a chunk multiple (e.g.
+        # 992 vs 1000 with defaults) and the run would end above lr_final.
+        updates_per_epoch = (
+            cfg.epoch_len // cfg.num_update_per_chunk
+        ) * cfg.num_update_per_chunk
+        steps = cfg.lr_decay_updates or cfg.num_epoch * max(
+            updates_per_epoch, cfg.num_update_per_chunk
+        )
         lr = optax.linear_schedule(cfg.lr, cfg.lr_final, steps)
     return optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),
@@ -356,11 +366,13 @@ def make_evaluator(setup: Setup, num_games: int):
         mean, perfect, scores, done = jitted(params, seed)
         # Eval games have no forced-termination forfeit (maxLen=-1,
         # eval.py:29-40): eval_max_steps must cover the longest possible game
-        # or the epoch eval would silently score truncated games. The
-        # standalone path asserts this (train/evaluate.py); mirror it here.
-        assert bool(done.all()), (
-            f"eval_max_steps={setup.train.eval_max_steps} truncated an eval game"
-        )
+        # or the epoch eval would silently score truncated games. A hard
+        # raise (not assert) so `python -O` can't strip the guard.
+        if not bool(done.all()):
+            raise RuntimeError(
+                f"eval_max_steps={setup.train.eval_max_steps} truncated an "
+                "eval game; raise it to cover the longest possible game"
+            )
         return mean, perfect, scores
 
     return run

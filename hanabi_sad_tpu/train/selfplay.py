@@ -234,35 +234,42 @@ def _train_loop(cfg, setup, state, saver, max_chunks) -> dict:
         print(stat.summary(epoch))
 
         # ---- eval + checkpoint (selfplay.py:254-277) ----
-        eval_seed = (9917 + epoch * 999999) % 7777777
-        score, perfect, _ = evaluator(state.params, np.uint32(eval_seed))
-        score, perfect = float(score), float(perfect)
-        stopwatch.time("eval")
-        force = f"model_epoch{epoch}" if (epoch > 0 and epoch % 50 == 0) else None
-        # Multihost: eval participates on every process (it is a global SPMD
-        # computation), but only process 0 writes checkpoints — concurrent
-        # writers on a shared save_dir would corrupt the pickles.
-        model_saved = False
-        if jax.process_index() == 0:
-            model_saved = saver.save(
-                ckpt.params_payload(state.params.online, dataclasses.asdict(cfg)),
-                score,
-                force_save_name=force,
+        # Gated on eval_freq_epochs (the final epoch always evaluates so the
+        # run summary reflects the finished model); latest.pkl is written on
+        # the same cadence — it exists for resume, and skipped-eval epochs
+        # are cheap to replay from the last snapshot.
+        do_eval = (epoch % cfg.eval_freq_epochs == 0) or (epoch == cfg.num_epoch - 1)
+        if do_eval:
+            eval_seed = (9917 + epoch * 999999) % 7777777
+            score, perfect, _ = evaluator(state.params, np.uint32(eval_seed))
+            score, perfect = float(score), float(perfect)
+            stopwatch.time("eval")
+            force = f"model_epoch{epoch}" if (epoch > 0 and epoch % 50 == 0) else None
+            # Multihost: eval participates on every process (it is a global
+            # SPMD computation), but only process 0 writes checkpoints —
+            # concurrent writers on a shared save_dir would corrupt the
+            # pickles.
+            model_saved = False
+            if jax.process_index() == 0:
+                model_saved = saver.save(
+                    ckpt.params_payload(state.params.online, dataclasses.asdict(cfg)),
+                    score,
+                    force_save_name=force,
+                )
+                ckpt.save(
+                    os.path.join(cfg.save_dir, "latest.pkl"),
+                    ckpt.train_state_payload(state, dataclasses.asdict(cfg)),
+                )
+            print(
+                "epoch %d, eval score: %.4f, perfect: %.2f, model saved: %s"
+                % (epoch, score, perfect * 100, model_saved)
             )
-            ckpt.save(
-                os.path.join(cfg.save_dir, "latest.pkl"),
-                ckpt.train_state_payload(state, dataclasses.asdict(cfg)),
-            )
-        print(
-            "epoch %d, eval score: %.4f, perfect: %.2f, model saved: %s"
-            % (epoch, score, perfect * 100, model_saved)
-        )
-        summary = {
-            "epoch": epoch,
-            "eval_score": score,
-            "perfect": perfect,
-            "num_update": int(state.num_update),
-        }
+            summary = {
+                "epoch": epoch,
+                "eval_score": score,
+                "perfect": perfect,
+                "num_update": int(state.num_update),
+            }
         print("==========")
         if max_chunks and total_chunks >= max_chunks:
             break
