@@ -125,6 +125,81 @@ def act(
     return reply, new_hidden
 
 
+def act_with_target(
+    params: AgentParams,
+    cfg: AgentConfig,
+    obs: Dict[str, jnp.ndarray],
+    hidden: Hidden,
+    target_hidden: Hidden,
+    key: jax.Array,
+) -> Tuple[Dict[str, jnp.ndarray], Hidden, Hidden]:
+    """act(return_q=True) that additionally advances the TARGET net alongside
+    the online net and returns the target dueling Q of the online-greedy
+    action (reply["tqa"]).
+
+    Carrying the target hidden through the rollout (reset on done like the
+    online hidden) reproduces exactly the zero-h0 full-sequence target
+    forward that compute_priority_from_rollout would run over the assembled
+    episodes — the reference's online-target initial priority
+    (r2d2.py:344-348) — without the separate re-forward, which is ~28% of
+    the production train chunk (BENCHMARKS.md round-4 chunk-phase
+    breakdown). The one divergence: an episode that spans a target-sync
+    boundary keeps its pre-sync target Q values for the steps already
+    rolled, where the re-forward would recompute all steps with the new
+    target — affects <2% of episodes once per 156 chunks (sync every 2500
+    updates / 16 per chunk); both are valid "the priorities the actor saw"
+    semantics.
+
+    The two networks have no data dependency on each other, so XLA
+    interleaves their kernels inside the scan body; the serial depth per
+    step stays the online chain's.
+    """
+    N, P = obs["priv_s"].shape[:2]
+    flat = lambda x: x.reshape((N * P,) + x.shape[2:])
+    priv_s = flat(obs["priv_s"])
+    legal = flat(obs["legal_move"])
+    eps = flat(obs["eps"])
+
+    def hid_dict(h: Hidden) -> Dict[str, jnp.ndarray]:
+        return {
+            "h0": h.h.reshape(N * P, cfg.net.num_lstm_layer, cfg.net.hid_dim),
+            "c0": h.c.reshape(N * P, cfg.net.num_lstm_layer, cfg.net.hid_dim),
+        }
+
+    def hid_tuple(d: Dict[str, jnp.ndarray]) -> Hidden:
+        return Hidden(
+            h=d["h0"].reshape(N, P, cfg.net.num_lstm_layer, cfg.net.hid_dim),
+            c=d["c0"].reshape(N, P, cfg.net.num_lstm_layer, cfg.net.hid_dim),
+        )
+
+    adv, v, new_hid = r2d2_net.act_with_v(params.online, cfg.net, priv_s, hid_dict(hidden))
+    t_adv, t_v, new_t_hid = r2d2_net.act_with_v(
+        params.target, cfg.net, priv_s, hid_dict(target_hidden)
+    )
+
+    legal_adv = (1 + adv - adv.min()) * legal
+    greedy = jnp.argmax(legal_adv, axis=-1)
+
+    k_rand, k_eps = jax.random.split(key)
+    logits = jnp.where(legal > 0, 0.0, -jnp.inf)
+    random_action = jax.random.categorical(k_rand, logits, axis=-1)
+    explore = jax.random.uniform(k_eps, eps.shape) < eps
+    action = jnp.where(explore, random_action, greedy).astype(jnp.int32)
+
+    unflat = lambda x: x.reshape(N, P)
+    q = r2d2_net.duel(v, adv, legal)
+    qa = jnp.take_along_axis(q, action[:, None], axis=-1)[:, 0]
+    t_q = jax.lax.stop_gradient(r2d2_net.duel(t_v, t_adv, legal))
+    tqa = jnp.take_along_axis(t_q, greedy[:, None], axis=-1)[:, 0]
+    reply = {
+        "a": unflat(action),
+        "greedy_a": unflat(greedy.astype(jnp.int32)),
+        "qa": unflat(qa),
+        "tqa": unflat(tqa),
+    }
+    return reply, hid_tuple(new_hid), hid_tuple(new_t_hid)
+
+
 def reset_hidden_where(done: jnp.ndarray, hidden: Hidden) -> Hidden:
     """Zero the hidden rows of envs that just reset (r2d2_actor.h:113-126)."""
     mask = done[:, None, None, None]

@@ -55,6 +55,13 @@ class ActorState(NamedTuple):
     carry_qa: jnp.ndarray  # [N, T, P] f32
     carry_reward: jnp.ndarray  # [N, T] f32
     carry_len: jnp.ndarray  # [N] i32
+    # Set when the rollout also advances the target net for fused exact
+    # priorities (TrainConfig.exact_priority_in_rollout): the target-net
+    # hidden carry and the carried partial episode's target-greedy Q stream.
+    # None leaves are static pytree structure — the two variants simply
+    # compile different programs.
+    target_hidden: object = None  # Hidden or None
+    carry_tqa: object = None  # [N, T, P] f32 or None
 
 
 class StreamChunk(NamedTuple):
@@ -67,10 +74,16 @@ class StreamChunk(NamedTuple):
     reward: jnp.ndarray  # [T, N] f32
     done: jnp.ndarray  # [T, N] bool
     score: jnp.ndarray  # [T, N] i32 (episode score where done)
+    tqa: object = None  # [T, N, P] f32 target-greedy Q (fused priority) or None
 
 
 def init_actor_state(
-    agent_cfg: AgentConfig, env_cfg: EnvConfig, rep_cfg: ReplayConfig, keys: jnp.ndarray
+    agent_cfg: AgentConfig,
+    env_cfg: EnvConfig,
+    rep_cfg: ReplayConfig,
+    keys: jnp.ndarray,
+    *,
+    with_target_qa: bool = False,
 ) -> ActorState:
     N = keys.shape[0]
     P = env_cfg.game.players
@@ -86,6 +99,8 @@ def init_actor_state(
         carry_qa=jnp.zeros((N, T, P), jnp.float32),
         carry_reward=jnp.zeros((N, T), jnp.float32),
         carry_len=jnp.zeros((N,), jnp.int32),
+        target_hidden=r2d2_agent.init_hidden(agent_cfg, N, P) if with_target_qa else None,
+        carry_tqa=jnp.zeros((N, T, P), jnp.float32) if with_target_qa else None,
     )
     # Identical zero constants can alias the same device buffer, which breaks
     # donation in the jitted train chunk — materialize distinct buffers.
@@ -106,15 +121,24 @@ def run_continuous_chunk(
     can software-pipeline the underfed per-step matmuls (see
     TrainConfig.rollout_unroll)."""
 
+    with_target = actor.target_hidden is not None
+
     def body(carry, step_key):
-        env_state, obs, hidden = carry
-        reply, hidden = r2d2_agent.act(
-            params, agent_cfg, obs, hidden, step_key, return_q=True
-        )
+        env_state, obs, hidden, t_hidden = carry
+        if with_target:
+            reply, hidden, t_hidden = r2d2_agent.act_with_target(
+                params, agent_cfg, obs, hidden, t_hidden, step_key
+            )
+        else:
+            reply, hidden = r2d2_agent.act(
+                params, agent_cfg, obs, hidden, step_key, return_q=True
+            )
         new_env_state, new_obs, reward, done, score = jax.vmap(
             lambda s, a: env_mod.step_autoreset(env_cfg, s, a)
-        )(env_state, reply)
+        )(env_state, {"a": reply["a"], "greedy_a": reply["greedy_a"]})
         hidden = r2d2_agent.reset_hidden_where(done, hidden)
+        if with_target:
+            t_hidden = r2d2_agent.reset_hidden_where(done, t_hidden)
         bits = jnp.concatenate(
             [obs["priv_s"], obs["legal_move"], obs["own_hand"]], axis=-1
         )
@@ -122,16 +146,20 @@ def run_continuous_chunk(
             pack_bits(bits), reply["a"], reply["greedy_a"], reply["qa"], reward, done,
             score,
         )
-        return (new_env_state, new_obs, hidden), rec
+        if with_target:
+            rec = rec + (reply["tqa"],)
+        return (new_env_state, new_obs, hidden, t_hidden), rec
 
-    (env_state, obs, hidden), recs = jax.lax.scan(
+    (env_state, obs, hidden, t_hidden), recs = jax.lax.scan(
         body,
-        (actor.env_state, actor.obs, actor.hidden),
+        (actor.env_state, actor.obs, actor.hidden, actor.target_hidden),
         jax.random.split(act_key, num_steps),
         unroll=unroll,
     )
     stream = StreamChunk(*recs)
-    actor = actor._replace(env_state=env_state, obs=obs, hidden=hidden)
+    actor = actor._replace(
+        env_state=env_state, obs=obs, hidden=hidden, target_hidden=t_hidden
+    )
     return actor, stream
 
 
@@ -148,6 +176,7 @@ class AssembledEpisodes(NamedTuple):
     dropped: jnp.ndarray  # scalar i32: completed episodes beyond the slot cap
     score_sum: jnp.ndarray  # scalar f32, sum of completed-episode scores
     num_completed: jnp.ndarray  # scalar i32
+    tqa: object = None  # [M, T, P] target-greedy Q (fused priority) or None
 
 
 def assemble_episodes(
@@ -199,6 +228,9 @@ def assemble_episodes(
     greedy = gather(stream.greedy, actor.carry_greedy)
     qa = gather(stream.qa, actor.carry_qa)
     reward = gather(stream.reward, actor.carry_reward)  # [K, N, Tc]
+    tqa = (
+        gather(stream.tqa, actor.carry_tqa) if stream.tqa is not None else None
+    )
 
     # flatten slots env-major: slot id = n * K + e
     def flat(x):  # [K, N, ...] -> [N*K, ...]
@@ -216,6 +248,7 @@ def assemble_episodes(
         dropped=jnp.maximum(n_done - K, 0).sum(),
         score_sum=jnp.where(done, stream.score, 0).sum().astype(jnp.float32),
         num_completed=n_done.sum(),
+        tqa=flat(tqa) if tqa is not None else None,
     )
 
     # ---- new carry: the unfinished tail (segment n_done) ----
@@ -249,6 +282,11 @@ def assemble_episodes(
         carry_qa=carry_gather(stream.qa, actor.carry_qa),
         carry_reward=carry_gather(stream.reward, actor.carry_reward),
         carry_len=new_len.astype(jnp.int32),
+        carry_tqa=(
+            carry_gather(stream.tqa, actor.carry_tqa)
+            if stream.tqa is not None
+            else None
+        ),
     )
     return actor, episodes
 
@@ -274,6 +312,7 @@ def split_players(ep: AssembledEpisodes) -> AssembledEpisodes:
         dropped=ep.dropped,
         score_sum=ep.score_sum,
         num_completed=ep.num_completed,
+        tqa=per_player(ep.tqa) if ep.tqa is not None else None,
     )
 
 
@@ -315,6 +354,37 @@ def exact_episode_priorities(
     return r2d2_agent.compute_priority_from_rollout(
         params, agent_cfg, batch, tm(qa), tm(episodes.greedy)
     )
+
+
+def fused_exact_priorities(
+    episodes: AssembledEpisodes,
+    agent_cfg: AgentConfig,
+    n_step_r: jnp.ndarray,
+    bootstrap: jnp.ndarray,
+) -> jnp.ndarray:
+    """Exact online-target initial priorities from the rollout's own target-Q
+    stream (episodes.tqa, recorded by act_with_target) — the same quantity
+    exact_episode_priorities computes with a separate full-sequence target
+    forward, at zero extra forward cost. See
+    r2d2_agent.act_with_target for the equivalence argument (and the one
+    target-sync-boundary divergence)."""
+    M, T = episodes.reward.shape
+    n = agent_cfg.multi_step
+    gamma = agent_cfg.gamma
+    seq_len = episodes.seq_len
+
+    tqa = episodes.tqa.sum(-1) if agent_cfg.vdn else episodes.tqa[..., 0]  # [M, T]
+    tqa_next = jnp.concatenate([tqa[:, n:], jnp.zeros((M, n), tqa.dtype)], axis=1)
+    target = n_step_r + bootstrap * (gamma ** n) * tqa_next
+    qa = episodes.qa.sum(-1) if agent_cfg.vdn else episodes.qa[..., 0]
+    t_idx = jnp.arange(T, dtype=jnp.float32)[None, :]
+    mask = (t_idx < seq_len[:, None]).astype(jnp.float32)
+    err = jnp.abs(target - qa) * mask
+    if agent_cfg.uniform_priority:
+        return jnp.ones((M,), jnp.float32)
+    p_mean = err.sum(1) / jnp.maximum(seq_len, 1.0)
+    p_max = err.max(1)
+    return agent_cfg.eta * p_max + (1 - agent_cfg.eta) * p_mean
 
 
 def episode_priorities(

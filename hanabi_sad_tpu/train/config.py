@@ -89,6 +89,14 @@ class TrainConfig:
     # eval score (iql_2p, seed 909, ~13 min each) despite ~10% fewer epochs
     # from the extra target forward.
     continuous_exact_priority: bool = True
+    # Compute the exact online-target initial priorities from a target-net
+    # forward fused INTO the rollout scan (act advances both nets; the
+    # target hidden resets on done like the online one) instead of the
+    # separate full-sequence re-forward over the assembled slots. Same
+    # quantity — see r2d2_agent.act_with_target — minus ~28% of the chunk
+    # (BENCHMARKS.md round-4 chunk-phase breakdown: the re-forward is
+    # ~67 ms of 242 ms). Only meaningful with continuous_exact_priority.
+    exact_priority_in_rollout: bool = False
     # Scan unroll factors (1 = plain scan). rollout_unroll widens the
     # act+env rollout loop body; net_seq_unroll widens the learner's
     # sequence-LSTM loop. The per-step matmuls at these sizes run far below

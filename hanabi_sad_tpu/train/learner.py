@@ -164,7 +164,13 @@ def init_train_state(setup: Setup, key: jax.Array) -> TrainState:
     actor = None
     if setup.train.rollout_mode == "continuous":
         keys = jax.random.split(k_actor, setup.train.num_envs)
-        actor = continuous.init_actor_state(setup.agent, setup.env, setup.replay, keys)
+        actor = continuous.init_actor_state(
+            setup.agent, setup.env, setup.replay, keys,
+            with_target_qa=(
+                setup.train.continuous_exact_priority
+                and setup.train.exact_priority_in_rollout
+            ),
+        )
     return TrainState(
         params=params,
         opt_state=opt_state,
@@ -281,9 +287,15 @@ def collect_into_replay(setup: Setup, state: TrainState):
             episodes, setup.agent
         )
         if cfg.continuous_exact_priority:
-            priority = continuous.exact_episode_priorities(
-                state.params, setup.agent, setup.replay, episodes, n_step_r, bootstrap
-            )
+            if episodes.tqa is not None:
+                priority = continuous.fused_exact_priorities(
+                    episodes, setup.agent, n_step_r, bootstrap
+                )
+            else:
+                priority = continuous.exact_episode_priorities(
+                    state.params, setup.agent, setup.replay, episodes, n_step_r,
+                    bootstrap,
+                )
         replay = replay_mod.add_packed(
             state.replay, setup.replay, episodes.packed, episodes.action,
             n_step_r, bootstrap, episodes.seq_len, priority, valid=episodes.valid,

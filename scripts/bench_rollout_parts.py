@@ -103,8 +103,8 @@ def main():
     def env_only(env_state):
         def body(s, _):
             s, o, r, d, sc = jax.vmap(
-                lambda ss: env_mod.step_autoreset(env_cfg, ss, fixed_action)
-            )(s)
+                lambda ss, aa: env_mod.step_autoreset(env_cfg, ss, aa)
+            )(s, fixed_action)
             # consume obs so the encode isn't dead code
             return s, (r, o["priv_s"].sum())
         s, (rs, osum) = jax.lax.scan(body, env_state, None, length=T)
@@ -114,8 +114,8 @@ def main():
     def env_noreset(env_state):
         def body(s, _):
             s, r, d = jax.vmap(
-                lambda ss: env_mod.step_state(env_cfg, ss, fixed_action)
-            )(s)
+                lambda ss, aa: env_mod.step_state(env_cfg, ss, aa)
+            )(s, fixed_action)
             o = jax.vmap(lambda ss: env_mod.observe(env_cfg, ss))(s)
             return s, (r, o["priv_s"].sum())
         s, (rs, osum) = jax.lax.scan(body, env_state, None, length=T)
@@ -129,15 +129,16 @@ def main():
         c, osum = jax.lax.scan(body, jnp.zeros(()), None, length=T)
         return osum.sum()
 
-    results = {
-        "full": timed(full, env_state, obs, hidden),
-        "act": timed(act_only, obs, hidden),
-        "env": timed(env_only, env_state),
-        "noreset": timed(env_noreset, env_state),
-        "encode": timed(encode_only, env_state),
-    }
-    for k, v in results.items():
-        print(f"{k:8s} {v * 1e3:8.1f} ms/chunk  ({N * T / v / 1e6:6.2f}M env-steps/s)")
+    results = {}
+    for name, fn, args in [
+        ("full", full, (env_state, obs, hidden)),
+        ("act", act_only, (obs, hidden)),
+        ("env", env_only, (env_state,)),
+        ("noreset", env_noreset, (env_state,)),
+        ("encode", encode_only, (env_state,)),
+    ]:
+        v = results[name] = timed(fn, *args)
+        print(f"{name:8s} {v * 1e3:8.1f} ms/chunk  ({N * T / v / 1e6:6.2f}M env-steps/s)")
     print(
         f"reset machinery (env - noreset): "
         f"{(results['env'] - results['noreset']) * 1e3:.1f} ms"

@@ -333,3 +333,108 @@ class TestExactPriority:
         state, _ = learner.make_collect_only(setup)(state)
         state, metrics = learner.make_train_chunk(setup)(state)
         assert np.isfinite(float(metrics["loss"]))
+
+
+class TestFusedExactPriority:
+    def test_fused_equals_reforward(self, tmp_path):
+        """The target-Q stream recorded by act_with_target must reproduce the
+        separate zero-h0 full-sequence target re-forward: same priorities.
+        Target params are perturbed away from online so the test is not
+        vacuous; eps > 0 so taken != greedy on some steps."""
+        cfg = make_config(
+            "dev",
+            save_dir=str(tmp_path),
+            rollout_mode="continuous",
+            continuous_exact_priority=True,
+            exact_priority_in_rollout=True,
+            num_envs=8,
+            burn_in_frames=8,
+            replay_buffer_size=128,
+            max_len=16,
+            rnn_hid_dim=32,
+            num_eps=4,
+            act_base_eps=0.3,
+            compute_dtype="float32",
+        )
+        setup = learner.make_setup(cfg)
+        state = learner.init_train_state(setup, jax.random.PRNGKey(0))
+        # desync target from online
+        noisy_target = jax.tree_util.tree_map(
+            lambda x: x + 0.01 * jnp.cos(jnp.arange(x.size, dtype=jnp.float32)).reshape(x.shape),
+            state.params.target,
+        )
+        state = state._replace(
+            params=state.params._replace(target=noisy_target)
+        )
+        assert state.actor.target_hidden is not None
+        for i in range(3):  # later chunks exercise carry-glued tqa segments
+            env_key, k_act = jax.random.split(state.env_key)
+            actor, stream = continuous.run_continuous_chunk(
+                state.params, setup.agent, setup.env, state.actor, k_act, cfg.max_len
+            )
+            actor, episodes = continuous.assemble_episodes(
+                actor, stream, cfg.slots_per_env
+            )
+            state = state._replace(actor=actor, env_key=env_key)
+            if not setup.train.vdn:
+                episodes = continuous.split_players(episodes)
+            n_step_r, bootstrap, _ = continuous.episode_priorities(
+                episodes, setup.agent
+            )
+            fused = continuous.fused_exact_priorities(
+                episodes, setup.agent, n_step_r, bootstrap
+            )
+            reforward = continuous.exact_episode_priorities(
+                state.params, setup.agent, setup.replay, episodes, n_step_r, bootstrap
+            )
+            valid = np.asarray(episodes.valid)
+            assert valid.any()
+            np.testing.assert_allclose(
+                np.asarray(fused)[valid], np.asarray(reforward)[valid],
+                rtol=1e-4, atol=1e-5,
+            )
+
+    def test_train_chunk_with_fused_priority(self, tmp_path):
+        cfg = make_config(
+            "dev",
+            save_dir=str(tmp_path),
+            rollout_mode="continuous",
+            continuous_exact_priority=True,
+            exact_priority_in_rollout=True,
+            num_envs=8,
+            num_update_per_chunk=2,
+            batchsize=4,
+            burn_in_frames=8,
+            replay_buffer_size=128,
+            max_len=16,
+            rnn_hid_dim=32,
+            num_eps=4,
+        )
+        setup = learner.make_setup(cfg)
+        state = learner.init_train_state(setup, jax.random.PRNGKey(0))
+        state, _ = learner.make_collect_only(setup)(state)
+        state, metrics = learner.make_train_chunk(setup)(state)
+        assert np.isfinite(float(metrics["loss"]))
+
+    def test_train_chunk_fused_iql(self, tmp_path):
+        cfg = make_config(
+            "dev",
+            save_dir=str(tmp_path),
+            method="iql",
+            rollout_mode="continuous",
+            continuous_exact_priority=True,
+            exact_priority_in_rollout=True,
+            num_envs=8,
+            num_update_per_chunk=2,
+            batchsize=4,
+            burn_in_frames=8,
+            replay_buffer_size=128,
+            max_len=16,
+            rnn_hid_dim=32,
+            num_eps=4,
+        )
+        setup = learner.make_setup(cfg)
+        state = learner.init_train_state(setup, jax.random.PRNGKey(0))
+        state, _ = learner.make_collect_only(setup)(state)
+        state, metrics = learner.make_train_chunk(setup)(state)
+        assert np.isfinite(float(metrics["loss"]))
