@@ -32,6 +32,14 @@ class AgentConfig:
     gamma: float = 0.999
     eta: float = 0.9
     uniform_priority: bool = False
+    # Run the online and target sequence forwards of td_error as ONE scan
+    # over params stacked [2, ...] (batched matmuls) instead of two
+    # sequential 80-step scans. Same numbers (equality-tested); at learner
+    # batch sizes the scans are latency-bound, so merging them removes one
+    # full sequence-scan latency per gradient update. The backward pass
+    # computes a dead target-slice gradient inside the same (latency-bound)
+    # stacked matmuls; stop_gradient keeps it out of the update.
+    stacked_td: bool = False
 
 
 class AgentParams(NamedTuple):
@@ -244,12 +252,32 @@ def td_error(
 
     # Online forward over the full padded sequence with zero initial hidden —
     # valid because episodes are aligned to t=0 and padded (r2d2.py:395-401).
-    online_qa, greedy_a, _, lstm_o = r2d2_net.forward(
-        params.online, cfg.net, priv_s, legal, action, hid=None
-    )
-    target_qa, _, _, _ = r2d2_net.forward(
-        params.target, cfg.net, priv_s, legal, greedy_a, hid=None
-    )
+    if cfg.stacked_td:
+        # One stacked scan for both nets: the target's input actions (the
+        # online greedy) are only used to SELECT from its q output, so both
+        # full-q forwards are independent and can share the scan.
+        stacked = jax.tree_util.tree_map(
+            lambda o, t: jnp.stack([o, t]), params.online, params.target
+        )
+        _, _, q2, o2 = jax.vmap(
+            lambda p: r2d2_net.forward(
+                p, cfg.net, priv_s, legal, jnp.zeros_like(action), hid=None
+            )
+        )(stacked)
+        online_qa = jnp.take_along_axis(q2[0], action[..., None], -1).squeeze(-1)
+        # Legal-masked greedy of the online q (forward's own rule,
+        # r2d2.py:113-115); any positive shift is argmax-invariant.
+        legal_q = (1 + q2[0] - q2[0].min()) * legal
+        greedy_a = jax.lax.stop_gradient(jnp.argmax(legal_q, axis=-1))
+        target_qa = jnp.take_along_axis(q2[1], greedy_a[..., None], -1).squeeze(-1)
+        lstm_o = o2[0]
+    else:
+        online_qa, greedy_a, _, lstm_o = r2d2_net.forward(
+            params.online, cfg.net, priv_s, legal, action, hid=None
+        )
+        target_qa, _, _, _ = r2d2_net.forward(
+            params.target, cfg.net, priv_s, legal, greedy_a, hid=None
+        )
     target_qa = jax.lax.stop_gradient(target_qa)
 
     if cfg.vdn:

@@ -97,6 +97,10 @@ class TrainConfig:
     # (BENCHMARKS.md round-4 chunk-phase breakdown: the re-forward is
     # ~67 ms of 242 ms). Only meaningful with continuous_exact_priority.
     exact_priority_in_rollout: bool = False
+    # Merge the learner's online+target sequence forwards into one scan over
+    # stacked params (agent/r2d2_agent.py td_error) — removes one 80-step
+    # scan latency per gradient update; numbers unchanged (equality-tested).
+    stacked_td: bool = False
     # Scan unroll factors (1 = plain scan). rollout_unroll widens the
     # act+env rollout loop body; net_seq_unroll widens the learner's
     # sequence-LSTM loop. The per-step matmuls at these sizes run far below

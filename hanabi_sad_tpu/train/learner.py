@@ -113,6 +113,7 @@ def make_setup(cfg: TrainConfig) -> Setup:
         multi_step=cfg.multi_step,
         gamma=cfg.gamma,
         eta=cfg.eta,
+        stacked_td=cfg.stacked_td,
     )
     eval_agent = dataclasses.replace(agent, vdn=False)
     replay = ReplayConfig(

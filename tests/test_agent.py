@@ -215,3 +215,39 @@ class TestAggregatePriority:
             jax.tree_util.tree_leaves(synced.online), jax.tree_util.tree_leaves(synced.target)
         ):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestStackedTD:
+    def test_stacked_matches_unstacked(self):
+        """stacked_td merges the online+target sequence forwards into one
+        scan over stacked params; err, lstm_o, loss, priorities, and the
+        online gradients must all match the two-scan reference."""
+        import dataclasses as _dc
+
+        cfg, params = make_agent(vdn=True)
+        # desync target so the target slice actually matters
+        params = params._replace(
+            target=jax.tree_util.tree_map(
+                lambda x: x + 0.05 * jnp.sin(jnp.arange(x.size, dtype=jnp.float32)).reshape(x.shape),
+                params.target,
+            )
+        )
+        batch = make_batch(cfg, Pi=2)
+        scfg = _dc.replace(cfg, stacked_td=True)
+
+        err0, o0 = r2d2_agent.td_error(params, cfg, batch)
+        err1, o1 = r2d2_agent.td_error(params, scfg, batch)
+        np.testing.assert_allclose(np.asarray(err1), np.asarray(err0), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o0), rtol=1e-5, atol=1e-5)
+
+        def total(p, c):
+            ap = r2d2_agent.AgentParams(online=p, target=params.target)
+            l, prio, _ = r2d2_agent.loss(ap, c, batch, pred_weight=0.25)
+            return l.mean(), prio
+
+        (l0, p0), g0 = jax.value_and_grad(lambda p: total(p, cfg), has_aux=True)(params.online)
+        (l1, p1), g1 = jax.value_and_grad(lambda p: total(p, scfg), has_aux=True)(params.online)
+        np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p0), rtol=1e-5, atol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5)
