@@ -180,10 +180,22 @@ def act_with_target(
             c=d["c0"].reshape(N, P, cfg.net.num_lstm_layer, cfg.net.hid_dim),
         )
 
-    adv, v, new_hid = r2d2_net.act_with_v(params.online, cfg.net, priv_s, hid_dict(hidden))
-    t_adv, t_v, new_t_hid = r2d2_net.act_with_v(
-        params.target, cfg.net, priv_s, hid_dict(target_hidden)
+    # One stacked per-step forward for both nets (batched matmuls [2, ...])
+    # instead of two interleaved kernel chains — the serial depth per step
+    # is one chain either way, but half the kernel launches.
+    stacked = jax.tree_util.tree_map(
+        lambda o, t: jnp.stack([o, t]), params.online, params.target
     )
+    hid2 = jax.tree_util.tree_map(
+        lambda a, b: jnp.stack([a, b]), hid_dict(hidden), hid_dict(target_hidden)
+    )
+    adv2, v2, new_hid2 = jax.vmap(
+        lambda p, h: r2d2_net.act_with_v(p, cfg.net, priv_s, h)
+    )(stacked, hid2)
+    adv, v = adv2[0], v2[0]
+    t_adv, t_v = adv2[1], v2[1]
+    new_hid = jax.tree_util.tree_map(lambda x: x[0], new_hid2)
+    new_t_hid = jax.tree_util.tree_map(lambda x: x[1], new_hid2)
 
     legal_adv = (1 + adv - adv.min()) * legal
     greedy = jnp.argmax(legal_adv, axis=-1)
