@@ -56,6 +56,8 @@ def timed(fn, *args, reps=5):
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--exact", type=int, default=1)
+    p.add_argument("--fused", type=int, default=0)  # exact_priority_in_rollout
+    p.add_argument("--stacked", type=int, default=0)  # stacked_td
     p.add_argument("--num_envs", type=int, default=1024)
     p.add_argument("--updates", type=int, default=16)
     args = p.parse_args(argv)
@@ -70,6 +72,8 @@ def main(argv=None):
         replay_buffer_size=2 ** 15,
         burn_in_frames=1,
         continuous_exact_priority=bool(args.exact),
+        exact_priority_in_rollout=bool(args.fused),
+        stacked_td=bool(args.stacked),
     )
     setup = learner.make_setup(cfg)
     cfg = setup.train
@@ -143,8 +147,10 @@ def main(argv=None):
         print(f"{k:10s} {v * 1e3:8.1f} ms")
     print(f"{'updates':10s} {(r['chunk'] - r['+add']) * 1e3:8.1f} ms (derived)")
     print(
-        f"exact={cfg.continuous_exact_priority} envs={cfg.num_envs} "
-        f"updates={cfg.num_update_per_chunk} batch={cfg.batchsize}"
+        f"exact={cfg.continuous_exact_priority} "
+        f"fused={cfg.exact_priority_in_rollout} stacked={cfg.stacked_td} "
+        f"envs={cfg.num_envs} updates={cfg.num_update_per_chunk} "
+        f"batch={cfg.batchsize}"
     )
 
 
