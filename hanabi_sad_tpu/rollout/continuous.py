@@ -216,8 +216,23 @@ def assemble_episodes(
 
     def gather(stream_arr, carry_arr):
         # stream_arr: [T, N, ...]; carry_arr: [N, Tc, ...] -> [K, N, Tc, ...]
-        s = stream_arr[src_t, env_ids]  # [K, N, Tc, ...]
-        c = carry_arr[env_ids, jnp.minimum(j_idx, Tcap - 1)]  # [K, N, Tc, ...]
+        if stream_arr.dtype == jnp.uint8:
+            # The packed-obs stream is the bulk of the data; a dynamic gather
+            # over the time axis lowers to the scalar core, while the same
+            # selection as a one-hot contraction rides the MXU (exact:
+            # uint8 <= 255 is exact in bf16 and the matmul accumulates in
+            # f32 over 0/1 weights). See game/tpuops.py for the pattern.
+            oh = (src_t[..., None] == jnp.arange(T, dtype=jnp.int32)).astype(
+                jnp.bfloat16
+            )  # [K, N, Tc, T]
+            sm = stream_arr.reshape(T, N, -1).astype(jnp.bfloat16)
+            s = jnp.einsum(
+                "knjt,tnf->knjf", oh, sm, preferred_element_type=jnp.float32
+            ).astype(jnp.uint8)
+            s = s.reshape((K, N, Tcap) + stream_arr.shape[2:])
+        else:
+            s = stream_arr[src_t, env_ids]  # [K, N, Tc, ...]
+        c = jnp.broadcast_to(carry_arr[None], (K,) + carry_arr.shape)  # [K,N,Tc,...]
         sel = from_carry.reshape(from_carry.shape + (1,) * (s.ndim - 3))
         mask = in_ep.reshape(in_ep.shape + (1,) * (s.ndim - 3))
         out = jnp.where(sel, c, s)
@@ -268,7 +283,18 @@ def assemble_episodes(
     in_carry = jc < new_len[:, None]
 
     def carry_gather(stream_arr, carry_arr):
-        s = stream_arr[src_tail, jnp.arange(N)[:, None]]  # [N, Tc, ...]
+        if stream_arr.dtype == jnp.uint8:
+            # Same one-hot time contraction as gather() above.
+            oh = (src_tail[..., None] == jnp.arange(T, dtype=jnp.int32)).astype(
+                jnp.bfloat16
+            )  # [N, Tc, T]
+            sm = stream_arr.reshape(T, N, -1).astype(jnp.bfloat16)
+            s = jnp.einsum(
+                "njt,tnf->njf", oh, sm, preferred_element_type=jnp.float32
+            ).astype(jnp.uint8)
+            s = s.reshape((N, Tcap) + stream_arr.shape[2:])
+        else:
+            s = stream_arr[src_tail, jnp.arange(N)[:, None]]  # [N, Tc, ...]
         c = carry_arr[:, : Tcap]
         sel = from_old.reshape(from_old.shape + (1,) * (s.ndim - 2))
         mask = in_carry.reshape(in_carry.shape + (1,) * (s.ndim - 2))

@@ -221,6 +221,9 @@ class TestScanUnroll:
             params, setup.agent, setup.env, actor, k, 20, unroll=4
         )
         for a, b, name in zip(s1, s4, s1._fields):
+            if a is None:  # optional fields (tqa) absent in this config
+                assert b is None, name
+                continue
             atol = 1e-6 if np.asarray(a).dtype == np.float32 else 0
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=0, atol=atol, err_msg=name
