@@ -93,13 +93,20 @@ class TrainConfig:
     # forward fused INTO the rollout scan (act advances both nets; the
     # target hidden resets on done like the online one) instead of the
     # separate full-sequence re-forward over the assembled slots. Same
-    # quantity — see r2d2_agent.act_with_target — minus ~28% of the chunk
-    # (BENCHMARKS.md round-4 chunk-phase breakdown: the re-forward is
-    # ~67 ms of 242 ms). Only meaningful with continuous_exact_priority.
-    exact_priority_in_rollout: bool = False
+    # quantity — see r2d2_agent.act_with_target. Default True since the
+    # round-4 on-chip A/B (exps/perf_ab_r4.log, BENCHMARKS.md): production
+    # chunk 237.7 -> 203.8 ms (-14%); the re-forward it removes costs
+    # ~67 ms, the in-scan target adds ~20 ms to the rollout. Only
+    # meaningful with continuous_exact_priority.
+    exact_priority_in_rollout: bool = True
     # Merge the learner's online+target sequence forwards into one scan over
-    # stacked params (agent/r2d2_agent.py td_error) — removes one 80-step
-    # scan latency per gradient update; numbers unchanged (equality-tested).
+    # stacked params (agent/r2d2_agent.py td_error); numbers unchanged
+    # (equality-tested). Default False: the round-4 on-chip A/B measured it
+    # SLOWER at production shapes (chunk 271.6 vs 237.7 ms — the stacked
+    # backward's dead target-slice gradient costs more than the saved scan
+    # latency; exps/perf_ab_r4.log). Kept as a tested knob for shape
+    # classes where the learner scans are latency- rather than
+    # compute-bound.
     stacked_td: bool = False
     # Scan unroll factors (1 = plain scan). rollout_unroll widens the
     # act+env rollout loop body; net_seq_unroll widens the learner's
