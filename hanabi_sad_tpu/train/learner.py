@@ -138,7 +138,13 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     from cfg.lr to cfg.lr_final over cfg.lr_decay_updates gradient steps
     (default: the full run), then holds — the opt_state carries the step
     count, so full-resume checkpoints continue the schedule."""
-    lr = cfg.lr
+    # Always build the lr as a schedule (constant when lr_final == 0) so the
+    # optimizer state structure is invariant to the decay flags: a full-resume
+    # checkpoint saved with a decay schedule restores cleanly into a
+    # constant-lr run and vice versa (optax float lr is stateless while a
+    # schedule carries ScaleByScheduleState — mixing them broke resume,
+    # found round 4 when giving the finished flagship a constant-lr leg).
+    lr = optax.constant_schedule(cfg.lr)
     if cfg.lr_final > 0:
         # Default horizon = the actual number of gradient updates the run
         # performs: each epoch runs (epoch_len // num_update_per_chunk) full
