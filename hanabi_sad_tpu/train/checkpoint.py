@@ -69,10 +69,51 @@ def restore_train_state(payload: Dict, state):
             lambda t, s: jnp.asarray(s, dtype=t.dtype), template, saved
         )
 
+    def merge_opt(t, s):
+        """Tolerant opt_state restore: recurse where the saved structure
+        matches the fresh template's, keep the template subtree where it
+        does not. Needed for pre-round-4 constant-lr payloads whose Adam lr
+        was a stateless float (no ScaleByScheduleState leaf) restoring into
+        the always-schedule-backed optimizer (learner.make_optimizer)."""
+        if isinstance(t, tuple) and isinstance(s, tuple):
+            if type(t) is type(s) and len(t) == len(s):
+                merged = [merge_opt(a, b) for a, b in zip(t, s)]
+                return type(t)(*merged) if hasattr(t, "_fields") else tuple(merged)
+            return t
+        if isinstance(t, list) and isinstance(s, list) and len(t) == len(s):
+            return [merge_opt(a, b) for a, b in zip(t, s)]
+        if isinstance(t, dict) and isinstance(s, dict) and set(t) == set(s):
+            return {k: merge_opt(t[k], s[k]) for k in t}
+        try:
+            return jnp.asarray(s, dtype=t.dtype)
+        except (TypeError, ValueError):
+            return t
+
+    num_update = int(payload["num_update"])
+    opt_state = merge_opt(state.opt_state, payload["opt_state"])
+
+    def fix_schedule_count(x):
+        # The schedule step count equals the global update counter by
+        # construction (both increment once per gradient step), so setting
+        # it from the payload is a no-op on matched restores and repairs
+        # template-fallback leaves (which would otherwise restart the lr
+        # schedule from step 0).
+        if isinstance(x, optax.ScaleByScheduleState):
+            return x._replace(count=jnp.asarray(num_update, x.count.dtype))
+        return x
+
+    import optax
+
+    opt_state = jax.tree_util.tree_map(
+        fix_schedule_count,
+        opt_state,
+        is_leaf=lambda x: isinstance(x, optax.ScaleByScheduleState),
+    )
+
     return state._replace(
         params=like(state.params, payload["params"]),
-        opt_state=like(state.opt_state, payload["opt_state"]),
-        num_update=jnp.asarray(payload["num_update"], jnp.int32),
+        opt_state=opt_state,
+        num_update=jnp.asarray(num_update, jnp.int32),
         env_key=jnp.asarray(payload["env_key"], state.env_key.dtype),
         sample_key=jnp.asarray(payload["sample_key"], state.sample_key.dtype),
     )

@@ -238,7 +238,14 @@ def _train_loop(cfg, setup, state, saver, max_chunks) -> dict:
         # run summary reflects the finished model); latest.pkl is written on
         # the same cadence — it exists for resume, and skipped-eval epochs
         # are cheap to replay from the last snapshot.
-        do_eval = (epoch % cfg.eval_freq_epochs == 0) or (epoch == cfg.num_epoch - 1)
+        # Forced model_epoch{N} snapshots (every 50 epochs, saver.py:6-61)
+        # must fire even when eval_freq_epochs does not divide 50, so the
+        # 50-epoch cadence joins the gate rather than living inside it.
+        do_eval = (
+            (epoch % cfg.eval_freq_epochs == 0)
+            or (epoch > 0 and epoch % 50 == 0)
+            or (epoch == cfg.num_epoch - 1)
+        )
         if do_eval:
             eval_seed = (9917 + epoch * 999999) % 7777777
             score, perfect, _ = evaluator(state.params, np.uint32(eval_seed))

@@ -111,6 +111,61 @@ class TestLearnerUnits:
         ):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_checkpoint_legacy_constant_lr_payload(self, tmp_path):
+        """Pre-round-4 constant-lr payloads carry no ScaleByScheduleState
+        (Adam lr was a stateless float); they must still full-resume into
+        the always-schedule-backed optimizer, with the schedule count seeded
+        from the global update counter (ADVICE round 4)."""
+        import optax
+
+        cfg = tiny_cfg(tmp_path)
+        setup = learner.make_setup(cfg)
+        state = learner.init_train_state(setup, jax.random.PRNGKey(0))
+        collect = learner.make_collect_only(setup)
+        chunk = learner.make_train_chunk(setup)
+        state, _ = collect(state)
+        state, _ = chunk(state)
+
+        import dataclasses
+
+        payload = ckpt.train_state_payload(state, dataclasses.asdict(cfg))
+
+        def strip_schedule(x):
+            if isinstance(x, optax.ScaleByScheduleState):
+                return optax.EmptyState()
+            if isinstance(x, tuple) and hasattr(x, "_fields"):
+                return type(x)(*(strip_schedule(c) for c in x))
+            if isinstance(x, tuple):
+                return tuple(strip_schedule(c) for c in x)
+            if isinstance(x, list):
+                return [strip_schedule(c) for c in x]
+            if isinstance(x, dict):
+                return {k: strip_schedule(v) for k, v in x.items()}
+            return x
+
+        payload["opt_state"] = strip_schedule(payload["opt_state"])
+
+        fresh = learner.init_train_state(setup, jax.random.PRNGKey(42))
+        restored = ckpt.restore_train_state(payload, fresh)
+        assert int(restored.num_update) == int(state.num_update)
+        # Adam moments came from the payload, not the fresh template.
+        for a, b in zip(
+            jax.tree_util.tree_leaves(restored.params),
+            jax.tree_util.tree_leaves(state.params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        sched = [
+            x
+            for x in jax.tree_util.tree_leaves(
+                restored.opt_state,
+                is_leaf=lambda x: isinstance(x, optax.ScaleByScheduleState),
+            )
+            if isinstance(x, optax.ScaleByScheduleState)
+        ]
+        assert sched, "optimizer template lost its schedule state"
+        for s in sched:
+            assert int(s.count) == int(state.num_update)
+
     def test_replay_ratio_accounting(self, tmp_path):
         cfg = tiny_cfg(tmp_path)
         setup = learner.make_setup(cfg)
