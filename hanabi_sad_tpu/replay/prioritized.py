@@ -144,6 +144,93 @@ def add_packed(
     )
 
 
+def sample_indices(
+    state: ReplayState, cfg: ReplayConfig, keys: jax.Array, batchsize: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Stratified proportional draw of indices + IS weights from the CURRENT
+    priority state, for one or many batches at once.
+
+    `keys` is either a single PRNG key (returns idx/is_w of shape [B]) or a
+    stack of U keys (returns [U, B]). All U batches share one weight prefix
+    sum — this is the reference prefetcher's priority-snapshot semantics
+    (prioritized_replay.h:216-239: up to `prefetch` future batches are drawn
+    before the learner's updatePriority feedback lands); each batch is its
+    own stratified draw, matching U successive sample() calls against a
+    frozen priority state."""
+    single = keys.ndim == 1
+    if single:
+        keys = keys[None]
+    valid = jnp.arange(cfg.capacity) < state.size
+    w = jnp.where(valid, state.weight, 0.0)
+    cum = jnp.cumsum(w)
+    total = cum[-1]
+    seg = total / batchsize
+
+    def one(key):
+        u = jax.random.uniform(key, (batchsize,))
+        targets = (jnp.arange(batchsize) + u) * seg
+        targets = jnp.minimum(targets, total * (1 - 1e-6))
+        idx = jnp.searchsorted(cum, targets, side="right").astype(jnp.int32)
+        return jnp.minimum(idx, cfg.capacity - 1)
+
+    idx = jax.vmap(one)(keys)  # [U, B]
+    w_sel = w[idx]
+    p = w_sel / jnp.maximum(total, 1e-30)
+    is_w = jnp.power(state.size.astype(jnp.float32) * p, -cfg.beta)
+    is_w = is_w / jnp.maximum(is_w.max(axis=-1, keepdims=True), 1e-30)
+    if single:
+        return idx[0], is_w[0]
+    return idx, is_w
+
+
+class ReplayRows(NamedTuple):
+    """Raw (still bitpacked) replay rows for a set of sampled indices —
+    the prefetch payload handed into the update scan by snapshot sampling."""
+
+    packed: jnp.ndarray  # [..., T, Pi, bytes] uint8
+    action: jnp.ndarray  # [..., T, Pi] i32
+    reward: jnp.ndarray  # [..., T] f32
+    bootstrap: jnp.ndarray  # [..., T] f32
+    seq_len: jnp.ndarray  # [...] f32
+
+
+def gather_rows(state: ReplayState, idx: jnp.ndarray) -> ReplayRows:
+    return ReplayRows(
+        packed=state.packed[idx],
+        action=state.action[idx],
+        reward=state.reward[idx],
+        bootstrap=state.bootstrap[idx],
+        seq_len=state.seq_len[idx],
+    )
+
+
+def rows_to_batch(cfg: ReplayConfig, rows: ReplayRows) -> Batch:
+    """Unpack one batch of gathered rows ([B, T, ...]) into the time-major
+    learner Batch ([T, B, ...])."""
+    bits = unpack_bits(rows.packed, cfg.bits_per_step)  # [B, T, Pi, n_bits]
+    F, A = cfg.obs_dim, cfg.num_actions
+    priv_s = bits[..., :F]
+    legal = bits[..., F : F + A]
+    own_hand = bits[..., F + A :]
+
+    seq_len = rows.seq_len
+    T = cfg.seq_len
+    t_idx = jnp.arange(T, dtype=jnp.float32)[:, None]
+    terminal = (t_idx >= (seq_len[None, :] - 1)).astype(jnp.float32)
+
+    to_time_major = lambda x: jnp.swapaxes(x, 0, 1)  # [B, T, ...] -> [T, B, ...]
+    return Batch(
+        priv_s=to_time_major(priv_s),
+        legal_move=to_time_major(legal),
+        action=to_time_major(rows.action),
+        own_hand=to_time_major(own_hand),
+        reward=to_time_major(rows.reward),
+        terminal=terminal,
+        bootstrap=to_time_major(rows.bootstrap),
+        seq_len=seq_len,
+    )
+
+
 def sample(
     state: ReplayState, cfg: ReplayConfig, key: jax.Array, batchsize: int
 ) -> Tuple[Batch, jnp.ndarray, jnp.ndarray]:
@@ -154,45 +241,8 @@ def sample(
     step (the reference enforces this protocol with a runtime assert,
     prioritized_replay.h:209-212; here the training loop is synchronous by
     construction)."""
-    valid = jnp.arange(cfg.capacity) < state.size
-    w = jnp.where(valid, state.weight, 0.0)
-    cum = jnp.cumsum(w)
-    total = cum[-1]
-    seg = total / batchsize
-    u = jax.random.uniform(key, (batchsize,))
-    targets = (jnp.arange(batchsize) + u) * seg
-    targets = jnp.minimum(targets, total * (1 - 1e-6))
-    idx = jnp.searchsorted(cum, targets, side="right").astype(jnp.int32)
-    idx = jnp.minimum(idx, cfg.capacity - 1)
-
-    w_sel = w[idx]
-    p = w_sel / jnp.maximum(total, 1e-30)
-    is_w = jnp.power(state.size.astype(jnp.float32) * p, -cfg.beta)
-    is_w = is_w / jnp.maximum(is_w.max(), 1e-30)
-
-    packed = state.packed[idx]  # [B, T, Pi, bytes]
-    bits = unpack_bits(packed, cfg.bits_per_step)  # [B, T, Pi, n_bits]
-    F, A = cfg.obs_dim, cfg.num_actions
-    priv_s = bits[..., :F]
-    legal = bits[..., F : F + A]
-    own_hand = bits[..., F + A :]
-
-    seq_len = state.seq_len[idx]
-    T = cfg.seq_len
-    t_idx = jnp.arange(T, dtype=jnp.float32)[:, None]
-    terminal = (t_idx >= (seq_len[None, :] - 1)).astype(jnp.float32)
-
-    to_time_major = lambda x: jnp.swapaxes(x, 0, 1)  # [B, T, ...] -> [T, B, ...]
-    batch = Batch(
-        priv_s=to_time_major(priv_s),
-        legal_move=to_time_major(legal),
-        action=to_time_major(state.action[idx]),
-        own_hand=to_time_major(own_hand),
-        reward=to_time_major(state.reward[idx]),
-        terminal=terminal,
-        bootstrap=to_time_major(state.bootstrap[idx]),
-        seq_len=seq_len,
-    )
+    idx, is_w = sample_indices(state, cfg, key, batchsize)
+    batch = rows_to_batch(cfg, gather_rows(state, idx))
     return batch, is_w, idx
 
 

@@ -108,6 +108,18 @@ class TrainConfig:
     # classes where the learner scans are latency- rather than
     # compute-bound.
     stacked_td: bool = False
+    # Draw all num_update_per_chunk batches (indices, IS weights, and the
+    # bitpacked episode gather) from the chunk-start priority snapshot in
+    # one parallel pass instead of re-sampling against live priorities
+    # inside the Adam-serial update scan. This is the reference
+    # prefetcher's semantics (prioritized_replay.h:216-239: with
+    # prefetch=3 the next batches are drawn before the learner's
+    # updatePriority feedback lands) taken to prefetch=num_update_per_chunk;
+    # the learner's priority updates still scatter into the replay every
+    # step, they are just invisible to the same chunk's later batches.
+    # Bit-identical to the sequential path at num_update_per_chunk=1
+    # (equality-tested). Default False pending the round-5 on-chip A/B.
+    snapshot_sampling: bool = False
     # Scan unroll factors (1 = plain scan). rollout_unroll widens the
     # act+env rollout loop body; net_seq_unroll widens the learner's
     # sequence-LSTM loop. The per-step matmuls at these sizes run far below

@@ -228,8 +228,13 @@ def sgd_update(
     setup: Setup,
     optimizer: optax.GradientTransformation,
     state: TrainState,
+    presampled=None,
 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
-    """One prioritized-replay gradient step (selfplay.py:208-241)."""
+    """One prioritized-replay gradient step (selfplay.py:208-241).
+
+    `presampled` is None (sample here, from the live priority state) or a
+    (ReplayRows, is_weight, idx) triple drawn upfront from the chunk-start
+    priority snapshot (snapshot_sampling; see _train_chunk_impl)."""
     cfg = setup.train
 
     # Target sync on the global counter (selfplay.py:210-211).
@@ -241,10 +246,16 @@ def sgd_update(
         ),
     )
 
-    sample_key, k = jax.random.split(state.sample_key)
-    batch, is_weight, idx = replay_mod.sample(
-        state.replay, setup.replay, k, cfg.batchsize
-    )
+    if presampled is None:
+        sample_key, k = jax.random.split(state.sample_key)
+        batch, is_weight, idx = replay_mod.sample(
+            state.replay, setup.replay, k, cfg.batchsize
+        )
+    else:
+        # sample_key was advanced for the whole chunk by the caller.
+        sample_key = state.sample_key
+        rows, is_weight, idx = presampled
+        batch = replay_mod.rows_to_batch(setup.replay, rows)
 
     def loss_fn(online):
         p = AgentParams(online=online, target=params.target)
@@ -331,6 +342,39 @@ def _train_chunk_impl(
 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     cfg = setup.train
     state, chunk_stats = collect_into_replay(setup, state)
+
+    if cfg.snapshot_sampling:
+        # Draw ALL of the chunk's batches from the post-collect priority
+        # snapshot in one parallel pass (indices, IS weights, and the raw
+        # bitpacked row gather), then scan only the gradient updates. This
+        # hoists the O(capacity) weight prefix-sum and the HBM episode
+        # gather out of the Adam-serial scan; the learner's priority
+        # feedback still scatters into the replay every update, it is just
+        # not visible to the chunk's own later batches — the reference
+        # prefetcher's exact semantics (prioritized_replay.h:216-239, with
+        # prefetch >= num_update_per_chunk). The per-batch PRNG key chain is
+        # the same one the sequential path would have consumed, so the two
+        # modes are bit-identical at num_update_per_chunk=1.
+        sk = state.sample_key
+        per_batch = []
+        for _ in range(cfg.num_update_per_chunk):
+            sk, k = jax.random.split(sk)
+            per_batch.append(k)
+        keys = jnp.stack(per_batch)
+        idx, is_w = replay_mod.sample_indices(
+            state.replay, setup.replay, keys, cfg.batchsize
+        )  # [U, B]
+        rows = replay_mod.gather_rows(state.replay, idx)  # [U, B, ...]
+        state = state._replace(sample_key=sk)
+
+        def body(s, x):
+            rows_x, w_x, i_x = x
+            return sgd_update(setup, optimizer, s, presampled=(rows_x, w_x, i_x))
+
+        state, metrics = jax.lax.scan(body, state, (rows, is_w, idx))
+        out = {k: v.mean() for k, v in metrics.items()}
+        out.update(chunk_stats)
+        return state, out
 
     def body(s, _):
         return sgd_update(setup, optimizer, s)

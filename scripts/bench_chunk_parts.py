@@ -58,6 +58,7 @@ def main(argv=None):
     p.add_argument("--exact", type=int, default=1)
     p.add_argument("--fused", type=int, default=0)  # exact_priority_in_rollout
     p.add_argument("--stacked", type=int, default=0)  # stacked_td
+    p.add_argument("--snapshot", type=int, default=0)  # snapshot_sampling
     p.add_argument("--num_envs", type=int, default=1024)
     p.add_argument("--updates", type=int, default=16)
     args = p.parse_args(argv)
@@ -74,6 +75,7 @@ def main(argv=None):
         continuous_exact_priority=bool(args.exact),
         exact_priority_in_rollout=bool(args.fused),
         stacked_td=bool(args.stacked),
+        snapshot_sampling=bool(args.snapshot),
     )
     setup = learner.make_setup(cfg)
     cfg = setup.train
@@ -148,6 +150,7 @@ def main(argv=None):
     print(f"{'updates':10s} {(r['chunk'] - r['+add']) * 1e3:8.1f} ms (derived)")
     print(
         f"exact={cfg.continuous_exact_priority} "
+        f"snapshot={cfg.snapshot_sampling} "
         f"fused={cfg.exact_priority_in_rollout} stacked={cfg.stacked_td} "
         f"envs={cfg.num_envs} updates={cfg.num_update_per_chunk} "
         f"batch={cfg.batchsize}"

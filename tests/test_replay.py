@@ -153,3 +153,40 @@ class TestUpdatePriority:
         state = add(state, CFG, make_episodes(2), jnp.asarray([4.0, 9.0]))
         w = np.asarray(state.weight[:2])
         np.testing.assert_allclose(w, [4.0 ** 0.9, 9.0 ** 0.9], rtol=1e-5)
+
+
+class TestSnapshotSampling:
+    def test_multi_batch_equals_sequential_draws_from_frozen_state(self):
+        """sample_indices with U stacked keys == U single-key calls against
+        the same (frozen) priority state — the prefetch snapshot property."""
+        from hanabi_sad_tpu.replay.prioritized import sample_indices
+
+        state = init_replay(CFG)
+        state = add(state, CFG, make_episodes(20), jnp.linspace(0.5, 3.0, 20))
+        keys = jax.random.split(jax.random.PRNGKey(7), 4)
+        idx_multi, w_multi = sample_indices(state, CFG, keys, 8)
+        assert idx_multi.shape == (4, 8) and w_multi.shape == (4, 8)
+        for u in range(4):
+            idx_one, w_one = sample_indices(state, CFG, keys[u], 8)
+            np.testing.assert_array_equal(np.asarray(idx_multi[u]), np.asarray(idx_one))
+            np.testing.assert_allclose(np.asarray(w_multi[u]), np.asarray(w_one), rtol=1e-6)
+
+    def test_gather_rows_matches_sample(self):
+        from hanabi_sad_tpu.replay.prioritized import (
+            gather_rows,
+            rows_to_batch,
+            sample_indices,
+        )
+
+        state = init_replay(CFG)
+        state = add(state, CFG, make_episodes(12), jnp.ones(12))
+        key = jax.random.PRNGKey(3)
+        batch, w, idx = sample(state, CFG, key, 6)
+        idx2, w2 = sample_indices(state, CFG, key, 6)
+        batch2 = rows_to_batch(CFG, gather_rows(state, idx2))
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx2))
+        np.testing.assert_allclose(np.asarray(w), np.asarray(w2), rtol=1e-6)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(batch), jax.tree_util.tree_leaves(batch2)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

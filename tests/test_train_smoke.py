@@ -234,3 +234,59 @@ class TestLrSchedule:
             updates, state0 = opt0.update(grads, state0, params)
             s.append(float(jnp.abs(updates["w"]).max()))
         assert s[-1] == pytest.approx(1e-3, rel=0.05)
+
+
+class TestSnapshotSampling:
+    def test_single_update_chunk_bit_identical(self, tmp_path):
+        """With num_update_per_chunk=1 there is no within-chunk priority
+        feedback to hide, so snapshot_sampling must be a bit-exact no-op
+        (same PRNG key chain, same sampler, same gather)."""
+        outs = []
+        for snap in (False, True):
+            cfg = tiny_cfg(
+                tmp_path, num_update_per_chunk=1, snapshot_sampling=snap,
+                rollout_mode="continuous", slots_per_env=2,
+            )
+            setup = learner.make_setup(cfg)
+            state = learner.init_train_state(setup, jax.random.PRNGKey(0))
+            collect = learner.make_collect_only(setup)
+            chunk = learner.make_train_chunk(setup)
+            state, _ = collect(state)
+            for _ in range(3):
+                state, metrics = chunk(state)
+            outs.append(
+                (
+                    jax.tree_util.tree_map(np.asarray, state.params.online),
+                    np.asarray(state.replay.weight),
+                    float(metrics["loss"]),
+                )
+            )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(outs[0][0]), jax.tree_util.tree_leaves(outs[1][0])
+        ):
+            np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(outs[0][1], outs[1][1])
+        assert outs[0][2] == outs[1][2]
+
+    def test_multi_update_chunk_trains(self, tmp_path):
+        """U=4 snapshot chunk: finite loss, params move, and the learner's
+        priority feedback still lands in the replay weights."""
+        cfg = tiny_cfg(
+            tmp_path, num_update_per_chunk=4, snapshot_sampling=True,
+            rollout_mode="continuous", slots_per_env=2,
+        )
+        setup = learner.make_setup(cfg)
+        state = learner.init_train_state(setup, jax.random.PRNGKey(0))
+        collect = learner.make_collect_only(setup)
+        chunk = learner.make_train_chunk(setup)
+        state, _ = collect(state)
+        w_before = np.asarray(state.weight if hasattr(state, "weight") else state.replay.weight).copy()
+        online_before = jax.tree_util.tree_map(np.asarray, state.params.online)
+        state, metrics = chunk(state)
+        assert np.isfinite(float(metrics["loss"]))
+        diffs = jax.tree_util.tree_map(
+            lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+            online_before, state.params.online,
+        )
+        assert max(jax.tree_util.tree_leaves(diffs)) > 0
+        assert not np.array_equal(w_before, np.asarray(state.replay.weight))
