@@ -71,6 +71,23 @@ class TestShardedTraining:
         assert np.isfinite(float(metrics["loss"]))
         assert int(state.num_update) == 2
 
+    def test_snapshot_sampling_sharded(self, mesh):
+        """snapshot_sampling's whole-chunk index draw + row gather must run
+        over the sharded replay (the gather crosses capacity shards exactly
+        like the per-update sampler's)."""
+        setup = tiny_setup(
+            8, rollout_mode="continuous", slots_per_env=2, snapshot_sampling=True,
+        )
+        state = learner.init_train_state(setup, jax.random.PRNGKey(0))
+        state = shard_train_state(state, mesh)
+        with mesh:
+            collect = learner.make_collect_only(setup)
+            chunk = learner.make_train_chunk(setup)
+            state, _ = collect(state)
+            state, metrics = chunk(state)
+        assert np.isfinite(float(metrics["loss"]))
+        assert int(state.num_update) == 2
+
     def test_sharded_matches_single_device(self, mesh):
         """Numerical equivalence: the same chunk on a 1-device mesh and an
         8-device mesh produces the same loss (SPMD correctness)."""
