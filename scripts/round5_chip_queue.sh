@@ -97,11 +97,39 @@ stage snapshot_ab 420 1500 4800 -- bash -c '
       --fused 1 --snapshot "$snap" 2>&1 | grep -v WARNING
   done | tee exps/perf_ab_r5.log'
 
+# --- 4b. Equal-wallclock learning A/B, only if the latency A/B won ---
+# (VERDICT item 4 "Done" criterion: defaults flip only on a win at equal
+# learning.) Latency win = snapshot chunk at least 5% faster.
+if [ -f exps/perf_ab_r5.log ]; then
+  CHUNKS=$(grep -o "^chunk *[0-9.]*" exps/perf_ab_r5.log | awk '{print $2}')
+  C0=$(echo "$CHUNKS" | sed -n 1p); C1=$(echo "$CHUNKS" | sed -n 2p)
+  if [ -n "$C0" ] && [ -n "$C1" ] && \
+     awk -v a="$C0" -v b="$C1" 'BEGIN{exit !(b < a*0.95)}'; then
+    mark "snapshot latency win ($C0 -> $C1 ms): running learning A/B"
+    # One stage, FIXED 900 s per arm — the equal-wallclock comparison must
+    # not inherit unequal budget-adaptive timeouts.
+    stage snap_learn_ab 1900 2000 5200 -- bash -c '
+      for v in 0 1; do
+        timeout 900 python -u -m hanabi_sad_tpu.train.selfplay --preset iql_2p \
+          --seed 911 --compute_dtype bfloat16 --snapshot_sampling "$v" \
+          --num_envs 1024 --num_update_per_chunk 16 \
+          --num_epoch 80 --num_eval_game 400 --eval_freq_epochs 2 \
+          --save_dir "exps/snap_ab_$v"
+      done
+      for v in 0 1; do
+        echo "=== snap_ab_$v curve ==="
+        grep -o "eval score: [0-9.]*" "exps/snap_ab_$v/train.log" | tail -8
+      done | tee -a exps/perf_ab_r5.log'
+  else
+    mark "snapshot latency A/B: no >=5% win ($C0 -> $C1 ms); default stays off"
+  fi
+fi
+
 # --- 5. Flagship polish leg: 5e-6 -> ~2e-6 linear over the leg ---
 # sad_aux_r4p/latest.pkl sits at update ~1.21M, lr flat 5e-6. The linear
 # schedule is absolute-count-based, so (lr0, final, steps) are chosen to put
 # lr(1.21M) = 5e-6 and decay ~1.25e-11/step to 2e-6 at 1.45M.
-stage sad_aux_leg 900 2700 2600 -- \
+stage sad_aux_leg 900 2400 2600 -- \
   python -u -m hanabi_sad_tpu.train.selfplay \
     --preset sad_2p --pred_weight 0.25 --seed 73 \
     --compute_dtype bfloat16 --num_envs 1024 --num_update_per_chunk 16 \
@@ -124,7 +152,7 @@ if [ -f exps/sad_aux_r5/model4.pkl ]; then
 fi
 
 # --- 6. Plain SAD: finish the 400k lr schedule + 1e-5 tail ---
-stage sad_leg 900 2700 900 -- \
+stage sad_leg 900 2400 900 -- \
   python -u -m hanabi_sad_tpu.train.selfplay \
     --preset sad_2p --seed 48 \
     --compute_dtype bfloat16 --num_envs 1024 --num_update_per_chunk 16 \
@@ -145,7 +173,7 @@ if [ -f exps/sad_r5/model4.pkl ]; then
 fi
 
 # --- 7. 3p growth: resume the round-4 smoke (rising at cutoff) ---
-stage iql_3p_leg 900 2400 0 -- \
+stage iql_3p_leg 900 2100 0 -- \
   python -u -m hanabi_sad_tpu.train.selfplay \
     --preset iql_2p --num_player 3 --seed 334 \
     --compute_dtype bfloat16 --num_envs 1024 --num_update_per_chunk 16 \
