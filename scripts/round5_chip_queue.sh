@@ -181,5 +181,19 @@ stage iql_3p_leg 900 2100 0 -- \
     --num_epoch 400 --load_model exps/iql_3p_smoke/latest.pkl \
     --save_dir exps/iql_3p_r5
 
+if [ -f exps/iql_3p_r5/model4.pkl ]; then
+  cp exps/iql_3p_r5/model4.pkl docs/runs/iql_3p_r5_model4.pkl
+  cp exps/iql_3p_r5/train.log docs/runs/iql_3p_r5_train.log
+fi
+
+# --- 8. Bonus (only if everything above left room): IQL 2p growth ---
+stage iql_2p_bonus 900 1800 0 -- \
+  python -u -m hanabi_sad_tpu.train.selfplay \
+    --preset iql_2p --seed 22 \
+    --compute_dtype bfloat16 --num_envs 1024 --num_update_per_chunk 16 \
+    --eval_freq_epochs 2 \
+    --num_epoch 400 --load_model docs/runs/iql_2p_r2_model.pkl \
+    --save_dir exps/iql_2p_r5
+
 mark "QUEUE round5 complete"
 cp "$STATUS" docs/runs/round5_queue_status.log || true
