@@ -53,7 +53,7 @@ stage auxop_b_leg 1200 5400 8500 -- \
   python -u -m hanabi_sad_tpu.train.selfplay \
     --preset sad_aux_op_2p --seed 606 \
     --compute_dtype bfloat16 --num_envs 1024 --num_update_per_chunk 16 \
-    --lr_final 1e-5 --lr_decay_updates 1000000 \
+    --lr_final 1e-5 --lr_decay_updates 1000000 --eval_freq_epochs 2 \
     --num_epoch 800 --load_model exps/auxop_b_r4b/latest.pkl \
     --save_dir exps/auxop_b_r5
 
@@ -134,6 +134,7 @@ stage sad_aux_leg 900 2400 2600 -- \
     --preset sad_2p --pred_weight 0.25 --seed 73 \
     --compute_dtype bfloat16 --num_envs 1024 --num_update_per_chunk 16 \
     --lr 2.0125e-5 --lr_final 2e-6 --lr_decay_updates 1450000 \
+    --eval_freq_epochs 2 \
     --num_epoch 400 --load_model exps/sad_aux_r4p/latest.pkl \
     --save_dir exps/sad_aux_r5
 
@@ -157,6 +158,7 @@ stage sad_leg 900 2400 900 -- \
     --preset sad_2p --seed 48 \
     --compute_dtype bfloat16 --num_envs 1024 --num_update_per_chunk 16 \
     --lr 3e-5 --lr_final 1e-5 --lr_decay_updates 400000 \
+    --eval_freq_epochs 2 \
     --num_epoch 400 --load_model exps/sad_r4/latest.pkl \
     --save_dir exps/sad_r5
 
