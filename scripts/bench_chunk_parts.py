@@ -15,7 +15,9 @@ phases so the round-4 perf work attacks the dominant term:
   updates    chunk - collect (derived)
 
 Run on the real chip:
-  PYTHONPATH=. python -u scripts/bench_chunk_parts.py [--exact 0|1]
+  PYTHONPATH=.:$PYTHONPATH python -u scripts/bench_chunk_parts.py [--exact 0|1]
+(append — don't overwrite — PYTHONPATH: some deployments deliver the JAX
+PJRT plugin through it)
 """
 
 from __future__ import annotations

@@ -93,7 +93,7 @@ fi
 stage snapshot_ab 420 1500 4800 -- bash -c '
   for snap in 0 1; do
     echo "=== fused=1 snapshot=$snap ==="
-    PYTHONPATH=. timeout 700 python -u scripts/bench_chunk_parts.py \
+    PYTHONPATH=.:${PYTHONPATH:-} timeout 700 python -u scripts/bench_chunk_parts.py \
       --fused 1 --snapshot "$snap" 2>&1 | grep -v WARNING
   done | tee exps/perf_ab_r5.log'
 
