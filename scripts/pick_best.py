@@ -53,8 +53,11 @@ def main(argv=None):
     if not results:
         raise SystemExit("no candidates found")
     best = max(results)
-    shutil.copyfile(best[1], args.out)
-    print(f"best: {best[1]} ({best[0]:.4f}) -> {args.out}")
+    if os.path.abspath(best[1]) == os.path.abspath(args.out):
+        print(f"best: {best[1]} ({best[0]:.4f}) — incumbent kept")
+    else:
+        shutil.copyfile(best[1], args.out)
+        print(f"best: {best[1]} ({best[0]:.4f}) -> {args.out}")
 
 
 if __name__ == "__main__":
